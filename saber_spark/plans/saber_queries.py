@@ -1,0 +1,241 @@
+"""Saber's benchmark query shapes, rewritten over the transcripts table.
+
+Reference shapes (SURVEY.md §5, BASELINE.json north_star):
+- YSB-style  : filter -> project -> tumbling windowed aggregate
+               (Selection.java + Projection.java + Aggregation.java in one
+               DataFrame plan).
+- CM-style   : cluster-monitoring grouped sliding aggregates
+               (DemoWithGoogleClusterData.java:214-236 selection shape;
+               grouped avg per category -> here avg(length(text)) by tool).
+- W1-style   : deep projection feeding a grouped count
+               (scheduling/W1.java:136-196).
+- W3-style   : selection with a wide OR predicate
+               (scheduling/W3.java:227-267).
+
+Each query pairs with a DuckDB oracle over the *same* deterministic
+transcripts derivation (sources/transcripts.py), so the driver checks
+values, not just row counts. Window starts are emitted as epoch-seconds
+BIGINT computed by Spark's native ``window()`` and reproduced
+arithmetically in SQL (session TZ pinned to UTC on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saber_spark.operators.aggregation import AggSpec, windowed_aggregate
+from saber_spark.operators.predicates import cmp, or_, wide_or
+from saber_spark.operators.projection import deep_arithmetic
+from saber_spark.operators.windows import RANGE, ROW, WindowDef
+from saber_spark.plans.registry import register
+from saber_spark.sources.tables import load_table
+from saber_spark.sources.transcripts import derive_transcripts, with_transcripts_oracle
+
+
+def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_transcripts(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# YSB-style: filter -> project -> tumbling range-window aggregate (flagship)
+# --------------------------------------------------------------------------
+
+_YSB_ORACLE = with_transcripts_oracle("""
+SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600       AS window_start,
+       CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 + 600 AS window_end,
+       count(*)                                            AS n_turns,
+       CAST(sum(length(text)) AS BIGINT)                   AS sum_len,
+       avg(length(text))                                   AS avg_len
+FROM transcripts
+WHERE role = 'assistant'
+GROUP BY 1, 2
+""")
+
+
+@register("ysb_windowed_agg", _YSB_ORACLE)
+def ysb_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection -> Projection -> tumbling windowed CNT/SUM/AVG (10 min)."""
+    t = transcripts(spark, sf_dir)
+    proj = t.where(cmp("role", "=", "assistant")).select(
+        "conv_id", "ts", F.length("text").alias("text_len")
+    )
+    return windowed_aggregate(
+        proj,
+        WindowDef(RANGE, 600),
+        [
+            AggSpec("cnt", "*", "n_turns"),
+            AggSpec("sum", "text_len", "sum_len"),
+            AggSpec("avg", "text_len", "avg_len"),
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# CM1-style: grouped sliding-window aggregate (avg text length by tool)
+# --------------------------------------------------------------------------
+
+_CM1_ORACLE = with_transcripts_oracle("""
+SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - r.k) * 300        AS window_start,
+       (CAST(floor(epoch(ts) / 300) AS BIGINT) - r.k) * 300 + 3600 AS window_end,
+       tool,
+       count(*)                                                     AS n_turns,
+       avg(length(text))                                            AS avg_len,
+       CAST(max(length(text)) AS BIGINT)                            AS max_len
+FROM transcripts, range(0, 12) AS r(k)
+WHERE tool <> ''
+GROUP BY 1, 2, 3
+""")
+
+
+@register("cm1_grouped_sliding_agg", _CM1_ORACLE)
+def cm1_grouped_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h window / 5min slide, grouped by tool — CM-query shape."""
+    t = transcripts(spark, sf_dir)
+    proj = t.where(cmp("tool", "!=", "")).select(
+        "tool", "ts", F.length("text").alias("text_len")
+    )
+    return windowed_aggregate(
+        proj,
+        WindowDef(RANGE, 3600, 300),
+        [
+            AggSpec("cnt", "*", "n_turns"),
+            AggSpec("avg", "text_len", "avg_len"),
+            AggSpec("max", F.col("text_len").cast("long"), "max_len"),
+        ],
+        keys=["tool"],
+    )
+
+
+# --------------------------------------------------------------------------
+# CM2-style: selection with OR of comparisons, then grouped tumbling agg
+# --------------------------------------------------------------------------
+
+_CM2_ORACLE = with_transcripts_oracle("""
+SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS window_start,
+       role,
+       count(*)                                      AS n_turns,
+       CAST(min(length(text)) AS BIGINT)             AS min_len,
+       CAST(max(turn_idx) AS BIGINT)                 AS max_turn
+FROM transcripts
+WHERE role = 'tool' OR turn_idx >= 40
+GROUP BY 1, 2
+""")
+
+
+@register("cm2_filtered_grouped_agg", _CM2_ORACLE)
+def cm2_filtered_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts(spark, sf_dir)
+    sel = t.where(or_(cmp("role", "=", "tool"), cmp("turn_idx", ">=", 40)))
+    agg = windowed_aggregate(
+        sel.select("role", "ts", F.length("text").alias("text_len"),
+                   F.col("turn_idx").cast("long").alias("turn_l")),
+        WindowDef(RANGE, 900),
+        [
+            AggSpec("cnt", "*", "n_turns"),
+            AggSpec("min", F.col("text_len").cast("long"), "min_len"),
+            AggSpec("max", "turn_l", "max_turn"),
+        ],
+        keys=["role"],
+    )
+    return agg.drop("window_end")
+
+
+# --------------------------------------------------------------------------
+# W1-style: deep arithmetic projection -> grouped count (two-query pipeline)
+# --------------------------------------------------------------------------
+
+_W1_DEPTH = 20
+
+_W1_ORACLE = with_transcripts_oracle(f"""
+SELECT tool,
+       count(*) AS n_rows,
+       round(avg(length(text) * pow(1.5, {_W1_DEPTH})), 4) AS avg_deep
+FROM transcripts
+GROUP BY tool
+""")
+
+
+@register("w1_deep_projection_groupby", _W1_ORACLE)
+def w1_deep_projection_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 pipeline: N-deep float expression projection feeding a count
+    group-by (scheduling/W1.java:136-196). Catalyst constant-folds the
+    nested 3*x/2 tree into a single multiply — the plan-level equivalent
+    of the reference JIT-compiling it into one kernel."""
+    t = transcripts(spark, sf_dir)
+    proj = t.select(
+        "tool", deep_arithmetic(F.length("text").cast("double"), _W1_DEPTH).alias("deep")
+    )
+    return proj.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("deep"), 4).alias("avg_deep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3-style: wide OR selection (500-predicate OR in the reference)
+# --------------------------------------------------------------------------
+
+_W3_TURNS = tuple(range(0, 200, 3))  # 67 equality predicates
+
+_W3_ORACLE = with_transcripts_oracle(f"""
+SELECT conv_id, turn_idx, role, tool
+FROM transcripts
+WHERE turn_idx IN ({", ".join(str(v) for v in _W3_TURNS)}) AND role = 'user'
+""")
+
+
+@register("w3_wide_or_selection", _W3_ORACLE)
+def w3_wide_or_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts(spark, sf_dir)
+    pred = wide_or("turn_idx", "=", _W3_TURNS) & cmp("role", "=", "user")
+    return t.where(pred).select("conv_id", "turn_idx", "role", "tool")
+
+
+# --------------------------------------------------------------------------
+# Count-based (ROW) windows over turn_idx — tumbling and sliding
+# --------------------------------------------------------------------------
+
+_ROWWIN_ORACLE = with_transcripts_oracle("""
+SELECT conv_id,
+       CAST(floor(turn_idx / 16) AS BIGINT) AS window_id,
+       count(*)                             AS n_turns,
+       CAST(sum(length(text)) AS BIGINT)    AS sum_len
+FROM transcripts
+GROUP BY 1, 2
+""")
+
+
+@register("row_window_tumbling_agg", _ROWWIN_ORACLE)
+def row_window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_BASED tumbling window, size 16 — no Spark primitive; expressed
+    as dense turn_idx bucketing per conversation (SURVEY.md §1.5)."""
+    t = transcripts(spark, sf_dir)
+    return windowed_aggregate(
+        t.select("conv_id", "turn_idx", F.length("text").alias("text_len")),
+        WindowDef(ROW, 16),
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len")],
+    )
+
+
+_ROWWIN_SLIDE_ORACLE = with_transcripts_oracle("""
+SELECT conv_id,
+       CAST(floor(turn_idx / 4) AS BIGINT) - r.k AS window_id,
+       count(*)                                   AS n_turns,
+       avg(length(text))                          AS avg_len
+FROM transcripts, range(0, 4) AS r(k)
+WHERE CAST(floor(turn_idx / 4) AS BIGINT) - r.k >= 0
+  AND turn_idx < (CAST(floor(turn_idx / 4) AS BIGINT) - r.k) * 4 + 16
+GROUP BY 1, 2
+""")
+
+
+@register("row_window_sliding_agg", _ROWWIN_SLIDE_ORACLE)
+def row_window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_BASED sliding window size 16 / slide 4 (figure-11b sweep shape)."""
+    t = transcripts(spark, sf_dir)
+    return windowed_aggregate(
+        t.select("conv_id", "turn_idx", F.length("text").alias("text_len")),
+        WindowDef(ROW, 16, 4),
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("avg", "text_len", "avg_len")],
+    )
