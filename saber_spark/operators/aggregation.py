@@ -55,6 +55,34 @@ class AggSpec:
         return AGG_FNS[self.fn](self.col).alias(self.alias)
 
 
+def session_aggregate(
+    df: DataFrame,
+    gap_s: int,
+    aggs: Sequence[AggSpec],
+    keys: Sequence[str] = ("conv_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session-window aggregate (gap-based). Absent in the reference —
+    required by the north_star; semantics are Spark's ``session_window``:
+    an event extends its session to ``ts + gap``; a new session starts
+    when the next event's ts >= previous session end. Emits session_start
+    / session_end as epoch seconds plus the aggregates.
+
+    Batch form here; the same expression works under ``readStream`` with
+    a watermark (state-store session merge) — see streaming/jobs.py.
+    """
+    win = F.session_window(F.col(ts_col), f"{gap_s} seconds")
+    out = df.groupBy(win.alias("session"), *[F.col(k) for k in keys]).agg(
+        *[a.to_column() for a in aggs]
+    )
+    return out.select(
+        F.col("session.start").cast("timestamp").cast("long").alias("session_start"),
+        F.col("session.end").cast("timestamp").cast("long").alias("session_end"),
+        *keys,
+        *[F.col(a.alias) for a in aggs],
+    )
+
+
 def windowed_aggregate(
     df: DataFrame,
     wd: WindowDef,

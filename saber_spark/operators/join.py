@@ -1,0 +1,116 @@
+"""Join operators.
+
+Reference: one join — the windowed nested-loop **ThetaJoin**
+(``cql/operators/cpu/ThetaJoin.java:96-272``): two timestamp-ordered
+streams, each arriving tuple scans the opposite stream's current window
+under an arbitrary predicate, with per-side window eviction
+(``ThetaJoin.java:171-196,239-267``). Equi-join is theta with EQUAL_OP.
+
+Spark-first re-expression:
+
+- ``windowed_theta_join`` — equi keys (conv_id) + a time-interval bound +
+  optional theta predicate. Catalyst runs the equi part as a shuffled
+  hash/sort-merge join (or broadcast if one side is small) and applies
+  the interval + theta conditions as join filters; the reference's
+  window eviction becomes the interval bound (batch) / watermark state
+  eviction (streaming, see streaming/jobs.py). At scale both sides
+  shuffle once on conv_id — never the O(n·m) scan of the reference.
+- ``asof_join`` — "latest right row at or before each left row" (absent
+  in the reference; standard for transcript/tool-event alignment).
+  Implemented shuffle-once with the union-tag trick: tag both sides,
+  single sort-within-partition by (key, ts, side), carry right values
+  forward with ``last(ignorenulls)`` over an unbounded-preceding window,
+  keep left rows. No fan-out, no UDF, no driver loop — O(n log n) per
+  partition and exactly one exchange on the key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def windowed_theta_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] = ("conv_id",),
+    time_bound_s: int | None = None,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    theta: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on keys, bounded to |l.ts - r.ts| <= time_bound_s, plus an
+    arbitrary theta predicate. Columns of both sides must be pre-aliased
+    to distinct names (reference merges tuple schemas the same way —
+    ``ExpressionsUtil.mergeTupleSchemas``)."""
+    cond = None
+    for k in keys:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    if time_bound_s is not None:
+        bound = (
+            F.abs(
+                left[left_ts].cast("timestamp").cast("double")
+                - right[right_ts].cast("timestamp").cast("double")
+            )
+            <= F.lit(float(time_bound_s))
+        )
+        cond = bound if cond is None else cond & bound
+    if theta is not None:
+        cond = theta if cond is None else cond & theta
+    return left.join(right, cond, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the values of the latest
+    right row with ``right.ts <= left.ts`` (``<`` if strict) on the same
+    key. Matches DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics.
+
+    Single shuffle on ``key``; the sort + running ``last(ignorenulls)``
+    happen within partitions (whole-stage codegen window exec).
+    """
+    lcols = left.columns
+    # side tag orders right rows before left at equal ts => '<=' semantics
+    r_tag, l_tag = (1, 0) if strict else (0, 1)
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(r_tag).alias("_side"),
+        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+        *[F.lit(None).alias(f"_lv_{c}") for c in lcols],
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(l_tag).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_rv_{v}") for v in right_values],
+        *[F.col(c).alias(f"_lv_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w).alias(f"_asof_{v}")
+            for v in right_values
+        ],
+    )
+    is_left = F.col("_side") == F.lit(l_tag)
+    return carried.where(is_left).select(
+        *[F.col(f"_lv_{c}").alias(c) for c in lcols],
+        *[F.col(f"_asof_{v}").alias(f"asof_{v}") for v in right_values],
+    )

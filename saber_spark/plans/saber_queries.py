@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from saber_spark.operators.aggregation import AggSpec, windowed_aggregate
+from saber_spark.operators.aggregation import AggSpec, session_aggregate, windowed_aggregate
+from saber_spark.operators.join import asof_join, windowed_theta_join
 from saber_spark.operators.predicates import cmp, or_, wide_or
 from saber_spark.operators.projection import deep_arithmetic
 from saber_spark.operators.windows import RANGE, ROW, WindowDef
@@ -238,4 +239,117 @@ def row_window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select("conv_id", "turn_idx", F.length("text").alias("text_len")),
         WindowDef(ROW, 16, 4),
         [AggSpec("cnt", "*", "n_turns"), AggSpec("avg", "text_len", "avg_len")],
+    )
+
+
+# --------------------------------------------------------------------------
+# ThetaJoin: windowed stream-stream join (reference ThetaJoin.java:96-272)
+# --------------------------------------------------------------------------
+
+_THETA_ORACLE = with_transcripts_oracle("""
+SELECT a.conv_id                AS conv_id,
+       a.turn_idx               AS a_turn,
+       b.turn_idx               AS b_turn,
+       length(a.text)           AS a_len,
+       length(b.text)           AS b_len
+FROM transcripts a
+JOIN transcripts b
+  ON a.conv_id = b.conv_id
+ AND abs(epoch(a.ts) - epoch(b.ts)) <= 21600
+ AND length(a.text) > length(b.text)
+WHERE a.role = 'assistant' AND b.role = 'tool'
+""")
+
+
+@register("theta_join_windowed", _THETA_ORACLE)
+def theta_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed theta join: assistant turns x tool turns of the same
+    conversation within +/-6h, non-equi predicate on text length.
+    Catalyst executes the conv_id equality as a shuffled equi-join (one
+    shuffle per side, never the reference's O(n*m) scan); interval +
+    theta conditions become join filters."""
+    t = transcripts(spark, sf_dir)
+    a = t.where(cmp("role", "=", "assistant")).select(
+        F.col("conv_id"), F.col("turn_idx").alias("a_turn"),
+        F.length("text").alias("a_len"), F.col("ts").alias("a_ts"))
+    b = t.where(cmp("role", "=", "tool")).select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("b_turn"),
+        F.length("text").alias("b_len"), F.col("ts").alias("b_ts"))
+    joined = windowed_theta_join(
+        a, b.withColumnRenamed("b_conv", "conv_id"),
+        keys=("conv_id",), time_bound_s=21600,
+        left_ts="a_ts", right_ts="b_ts",
+        theta=F.col("a_len") > F.col("b_len"),
+    )
+    return joined.select(a["conv_id"].alias("conv_id"),
+                         "a_turn", "b_turn", "a_len", "b_len")
+
+
+# --------------------------------------------------------------------------
+# As-of join (absent in reference; transcript/tool-event alignment)
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = with_transcripts_oracle("""
+SELECT l.conv_id AS conv_id,
+       l.turn_idx AS turn_idx,
+       r.turn_idx AS asof_tool_turn
+FROM (SELECT * FROM transcripts WHERE role = 'assistant') l
+ASOF LEFT JOIN (SELECT * FROM transcripts WHERE role = 'tool') r
+  ON l.conv_id = r.conv_id AND l.ts >= r.ts
+""")
+
+
+@register("asof_join_latest_tool_turn", _ASOF_ORACLE)
+def asof_join_latest_tool_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each assistant turn: the latest tool turn at-or-before it in
+    the same conversation. Union-tag + running last(ignorenulls) — one
+    shuffle on conv_id, no row fan-out (operators/join.py)."""
+    t = transcripts(spark, sf_dir)
+    left = t.where(cmp("role", "=", "assistant")).select("conv_id", "turn_idx", "ts")
+    right = t.where(cmp("role", "=", "tool")).select(
+        "conv_id", F.col("turn_idx").alias("tool_turn"), "ts")
+    out = asof_join(left, right, key="conv_id", left_ts="ts", right_ts="ts",
+                    right_values=["tool_turn"])
+    return out.select("conv_id", "turn_idx",
+                      F.col("asof_tool_turn").alias("asof_tool_turn"))
+
+
+# --------------------------------------------------------------------------
+# Session windows (north_star requirement; absent in the reference)
+# --------------------------------------------------------------------------
+
+_SESSION_ORACLE = with_transcripts_oracle("""
+, marked AS (
+    SELECT conv_id, turn_idx, ts, length(text) AS text_len,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sess AS (
+    SELECT *, SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                  ROWS UNBOUNDED PRECEDING) AS sess_no
+    FROM marked
+)
+SELECT CAST(floor(epoch(min(ts))) AS BIGINT)        AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+       conv_id,
+       count(*)                                      AS n_turns,
+       CAST(sum(text_len) AS BIGINT)                 AS sum_len
+FROM sess
+GROUP BY conv_id, sess_no
+""")
+
+
+@register("session_window_agg", _SESSION_ORACLE)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per conversation via Spark's
+    native session_window; oracle is a gaps-and-islands rewrite."""
+    t = transcripts(spark, sf_dir)
+    return session_aggregate(
+        t.select("conv_id", "ts", F.length("text").alias("text_len")),
+        gap_s=1800,
+        aggs=[AggSpec("cnt", "*", "n_turns"),
+              AggSpec("sum", F.col("text_len").cast("long"), "sum_len")],
     )
