@@ -30,6 +30,8 @@ sys.path.insert(0, REPO)
 HEADLINE = [
     "ysb_windowed_agg",
     "cm1_grouped_sliding_agg",
+    "cm1_pane_fanout",
+    "cm1_pane_incremental",
     "cm2_filtered_grouped_agg",
     "w1_deep_projection_groupby",
     "w3_wide_or_selection",

@@ -1,0 +1,281 @@
+"""Pane-based sliding-window aggregation — Saber's signature optimization.
+
+Reference semantics: a sliding window (size w, slide s) is decomposed into
+panes of ``gcd(w, s)`` (``WindowDefinition.java:28-57``); each pane is
+aggregated once and every window instance is the combination of its
+``w/pane`` panes (``WindowBatch.java:352-643``, ``Reduction.cl:41-120``).
+For invertible functions (CNT/SUM/AVG) the reference additionally keeps a
+running aggregate mutated by add/subtract deltas between consecutive
+windows (``Aggregation.java:78,607-653,1042-1168``).
+
+Spark's built-in sliding ``window()`` duplicates each *row* into its
+``w/s`` owning windows before aggregating. The pane layer instead:
+
+1. **Pane partials** — one ``groupBy(pane [, keys])``: shuffle volume is
+   #panes × #keys, independent of the w/s ratio. The key property (why a
+   pane-level recombination is exact): every row of a pane belongs to
+   exactly the same set of windows, because window starts are multiples
+   of s and pane divides s.
+2. **Recombination**, two interchangeable strategies:
+   - ``fanout`` (pure DataFrame): each pane partial is exploded to its
+     ≤⌈w/s⌉ owning windows and partials are merged by a second groupBy.
+     Fan-out now happens at *pane* granularity — for 100 TB of rows with
+     w/s = 12 this is 12× a few thousand pane rows, not 12× the input.
+   - ``incremental`` (Arrow-batched ``applyInPandas``, the reference's
+     subtract-on-evict re-expressed as vectorized NumPy): per key, panes
+     are laid on a dense grid; window sums come from one ``cumsum``
+     difference (O(#panes), the add/subtract running aggregate) and
+     MIN/MAX from a rolling extremum (the two-stacks equivalent). No
+     per-row Python; one pandas batch per key.
+
+AVG partial merge uses sum/cnt — algebraically the reference's
+``((v1*c2)+(v2*c1))/(c1+c2)`` (``PartialResultSlot.java:190-197``).
+
+Output schema and values are identical to ``windowed_aggregate`` (the
+semantic oracle); parity is bit-exact for integer inputs and checked by
+tests/test_panes.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from saber_spark.operators.aggregation import AggSpec
+from saber_spark.operators.windows import RANGE, ROW, WindowDef
+
+#: partial statistics required per aggregate function
+_NEEDS = {
+    "cnt": ("cnt",),
+    "sum": ("sum",),
+    "avg": ("sum", "cnt"),
+    "min": ("min",),
+    "max": ("max",),
+}
+
+_PARTIAL_FN = {
+    "cnt": lambda c: F.count(F.lit(1)),
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+_MERGE_FN = {"cnt": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _partial_cols(aggs: Sequence[AggSpec]) -> dict[str, tuple[str, str | object]]:
+    """name -> (stat, source col). Shared stats are deduplicated."""
+    # _cnt is always computed: it decides which windows are non-empty
+    out: dict[str, tuple[str, object]] = {"_cnt": ("cnt", "*")}
+    for a in aggs:
+        for stat in _NEEDS[a.fn]:
+            if stat == "cnt":
+                continue
+            key = f"_{stat}_{a.col if isinstance(a.col, str) else a.alias}"
+            out.setdefault(key, (stat, a.col))
+    return out
+
+
+def _final_col(a: AggSpec) -> F.Column:
+    src = a.col if isinstance(a.col, str) else a.alias
+    if a.fn == "cnt":
+        return F.col("_cnt").alias(a.alias)
+    if a.fn == "avg":
+        return (F.col(f"_sum_{src}") / F.col("_cnt")).alias(a.alias)
+    return F.col(f"_{a.fn}_{src}").alias(a.alias)
+
+
+def pane_windowed_aggregate(
+    df: DataFrame,
+    wd: WindowDef,
+    aggs: Sequence[AggSpec],
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    idx_col: str = "turn_idx",
+    row_key: str = "conv_id",
+    method: str = "fanout",
+) -> DataFrame:
+    """Sliding-window aggregate via pane decomposition.
+
+    Output matches ``windowed_aggregate`` exactly: RANGE →
+    (window_start, window_end, *keys, *aggs); ROW → (row_key, window_id,
+    *keys, *aggs).
+    """
+    if method not in ("fanout", "incremental"):
+        raise ValueError(f"method must be fanout|incremental, got {method!r}")
+    pane = wd.pane_size
+    if wd.kind == RANGE:
+        pos = F.floor(F.col(ts_col).cast("timestamp").cast("double") / F.lit(pane)).cast("long")
+        part_keys = list(keys)
+    else:
+        pos = F.floor(F.col(idx_col) / F.lit(pane)).cast("long")
+        part_keys = [row_key, *keys]
+
+    partials = _pane_partials(df, pos, aggs, part_keys)
+
+    if method == "fanout":
+        combined = _recombine_fanout(partials, wd, aggs, part_keys)
+    else:
+        combined = _recombine_incremental(partials, wd, aggs, part_keys)
+
+    if wd.kind == RANGE:
+        return combined.select(
+            (F.col("_w") * pane).alias("window_start"),
+            (F.col("_w") * pane + wd.size).alias("window_end"),
+            *keys,
+            *[F.col(a.alias) for a in aggs],
+        )
+    return combined.select(
+        F.col(row_key),
+        # _w is the window start in pane units; window_id = start/slide
+        ((F.col("_w") * pane) / wd.slide).cast("long").alias("window_id"),
+        *keys,
+        *[F.col(a.alias) for a in aggs],
+    )
+
+
+def _pane_partials(df, pos, aggs, part_keys) -> DataFrame:
+    pcols = _partial_cols(aggs)
+    agg_exprs = []
+    for name, (stat, src) in pcols.items():
+        agg_exprs.append(_PARTIAL_FN[stat](F.lit(1) if stat == "cnt" else src).alias(name))
+    return df.groupBy(pos.alias("_pane"), *[F.col(k) for k in part_keys]).agg(*agg_exprs)
+
+
+def _recombine_fanout(partials, wd, aggs, part_keys) -> DataFrame:
+    """Pane -> windows explode + merge groupBy (pure Catalyst)."""
+    pane = wd.pane_size
+    stride = wd.slide // pane  # panes per slide
+    n = wd.windows_per_row  # ceil(size/slide) candidate windows per pane
+    pcols = _partial_cols(aggs)
+    offsets = F.array(*[F.lit(i) for i in range(n)])
+    # latest window start (in pane units, aligned to stride) <= pane
+    base = (F.floor(F.col("_pane") / F.lit(stride)) * F.lit(stride)).cast("long")
+    fanned = (
+        partials.withColumn("_j", F.explode(offsets))
+        .withColumn("_w", base - F.col("_j") * F.lit(stride))
+        # window [w, w + size) must still contain this pane
+        .where(F.col("_pane") * pane < F.col("_w") * pane + wd.size)
+    )
+    if wd.kind == ROW:
+        # count-based windows start at tuple 0 — no negative-start windows
+        fanned = fanned.where(F.col("_w") >= 0)
+    merged = fanned.groupBy(F.col("_w"), *[F.col(k) for k in part_keys]).agg(
+        *[_MERGE_FN[stat](F.col(name)).alias(name) for name, (stat, _) in pcols.items()]
+    )
+    return merged.select("_w", *part_keys, *[_final_col(a) for a in aggs])
+
+
+def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
+    """Subtract-on-evict over a dense pane grid inside applyInPandas.
+
+    One Arrow batch per key group; NumPy cumsum difference = the running
+    add/subtract aggregate; pandas rolling min/max = two-stacks. Falls
+    back to a single global group when no keys are given (documented:
+    a global sliding aggregate is a single logical series; the pane
+    partials that feed it are still computed distributed).
+    """
+    import pyspark.sql.types as T
+
+    pane = wd.pane_size
+    np_win = wd.num_panes  # panes per window
+    stride = wd.panes_per_slide
+    allow_negative_starts = wd.kind == RANGE
+    pcols = _partial_cols(aggs)
+    stat_of = {name: stat for name, (stat, _) in pcols.items()}
+
+    schema_fields = [T.StructField("_w", T.LongType())]
+    for k in part_keys:
+        schema_fields.append(T.StructField(k, partials.schema[k].dataType))
+    out_numeric: dict[str, str] = {}
+    for a in aggs:
+        if a.fn == "cnt":
+            t = T.LongType()
+        elif a.fn == "avg":
+            t = T.DoubleType()
+        else:
+            src = f"_{a.fn}_{a.col if isinstance(a.col, str) else a.alias}"
+            t = partials.schema[src].dataType
+        schema_fields.append(T.StructField(a.alias, t))
+    out_schema = T.StructType(schema_fields)
+
+    agg_specs = [(a.alias, a.fn, a.col if isinstance(a.col, str) else a.alias) for a in aggs]
+    part_names = list(pcols.keys())
+    int_aliases = {
+        f.name
+        for f in schema_fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType))
+        and f.name not in ("_w", *part_keys)
+    }
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_pane")
+        base = int(pdf["_pane"].iloc[0])
+        last = int(pdf["_pane"].iloc[-1])
+        size = last - base + 1 + (np_win - 1)  # pad tail for partial windows
+        idx = (pdf["_pane"].to_numpy() - base).astype(np.int64)
+
+        dense: dict[str, np.ndarray] = {}
+        for name in part_names:
+            stat = stat_of[name]
+            if stat in ("cnt", "sum"):
+                arr = np.zeros(size, dtype=np.float64)
+                arr[idx] = pdf[name].to_numpy(dtype=np.float64)
+            else:
+                arr = np.full(size, np.nan)
+                arr[idx] = pdf[name].to_numpy(dtype=np.float64)
+            dense[name] = arr
+
+        # candidate windows END at pane i (inclusive); start = i - np_win + 1
+        ends = np.arange(size)
+        starts = ends - np_win + 1
+        # alignment: absolute start pane must be a multiple of stride
+        aligned = (starts + base) % stride == 0
+        if not allow_negative_starts:
+            aligned &= (starts + base) >= 0
+
+        out: dict[str, np.ndarray] = {}
+        win_cnt = None
+        for name in part_names:
+            stat = stat_of[name]
+            arr = dense[name]
+            if stat in ("cnt", "sum"):
+                cs = np.concatenate(([0.0], np.cumsum(arr)))
+                lo = np.clip(starts, 0, None)
+                vals = cs[ends + 1] - cs[lo]
+            elif stat == "min":
+                vals = pd.Series(arr).rolling(np_win, min_periods=1).min().to_numpy()
+            else:
+                vals = pd.Series(arr).rolling(np_win, min_periods=1).max().to_numpy()
+            out[name] = vals
+            if stat == "cnt":
+                win_cnt = vals
+
+        keep = aligned & (win_cnt > 0)
+        res = {"_w": starts[keep] + base}
+        for k in part_keys:
+            res[k] = np.repeat(pdf[k].iloc[0], keep.sum())
+        for alias, fn, src in agg_specs:
+            if fn == "cnt":
+                res[alias] = out["_cnt"][keep].astype(np.int64)
+            elif fn == "avg":
+                res[alias] = out[f"_sum_{src}"][keep] / out["_cnt"][keep]
+            elif fn == "sum":
+                res[alias] = out[f"_sum_{src}"][keep]
+            else:
+                res[alias] = out[f"_{fn}_{src}"][keep]
+            if alias in int_aliases:
+                # exact: integer-valued float64 (< 2^53) back to int64
+                res[alias] = np.asarray(res[alias]).astype(np.int64)
+        return pd.DataFrame(res)
+
+    if part_keys:
+        grouped = partials.groupBy(*part_keys)
+    else:
+        grouped = partials.withColumn("_g", F.lit(1)).groupBy("_g")
+    return grouped.applyInPandas(combine, out_schema)

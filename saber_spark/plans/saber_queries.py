@@ -353,3 +353,44 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[AggSpec("cnt", "*", "n_turns"),
               AggSpec("sum", F.col("text_len").cast("long"), "sum_len")],
     )
+
+
+# --------------------------------------------------------------------------
+# Pane-layer variants of CM1 (Saber's signature optimization; §4.3)
+# Same oracle as cm1_grouped_sliding_agg — the pane decomposition is a
+# performance strategy, not a semantic change.
+# --------------------------------------------------------------------------
+
+from saber_spark.operators.panes import pane_windowed_aggregate  # noqa: E402
+
+_CM1_AGGS = [
+    AggSpec("cnt", "*", "n_turns"),
+    AggSpec("avg", "text_len", "avg_len"),
+    AggSpec("max", "text_len", "max_len"),
+]
+
+
+def _cm1_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts(spark, sf_dir)
+    return t.where(cmp("tool", "!=", "")).select(
+        "tool", "ts", F.length("text").cast("long").alias("text_len")
+    )
+
+
+@register("cm1_pane_fanout", _CM1_ORACLE)
+def cm1_pane_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM1 via pane partials + pane-level window fan-out (pure Catalyst:
+    two hash aggregates; shuffle volume ∝ #panes, not #rows × w/s)."""
+    return pane_windowed_aggregate(
+        _cm1_input(spark, sf_dir), WindowDef(RANGE, 3600, 300),
+        _CM1_AGGS, keys=["tool"], method="fanout")
+
+
+@register("cm1_pane_incremental", _CM1_ORACLE)
+def cm1_pane_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM1 via pane partials + subtract-on-evict running aggregate in an
+    Arrow-batched applyInPandas (reference Aggregation.java:607-653
+    re-expressed as NumPy cumsum / rolling extrema)."""
+    return pane_windowed_aggregate(
+        _cm1_input(spark, sf_dir), WindowDef(RANGE, 3600, 300),
+        _CM1_AGGS, keys=["tool"], method="incremental")
