@@ -24,8 +24,10 @@ if _REPO not in sys.path:
 from saber_spark.plans import registry as _registry  # noqa: E402
 import saber_spark.plans.saber_queries  # noqa: E402,F401  (registers queries)
 
+import saber_spark.plans.relational_queries  # noqa: E402,F401
+import saber_spark.plans.streaming_queries  # noqa: E402,F401
+
 try:  # registered lazily as modules land; keep entry importable regardless
-    import saber_spark.plans.relational_queries  # noqa: E402,F401
     import saber_spark.plans.pipeline_queries  # noqa: E402,F401
 except ImportError:
     pass

@@ -65,8 +65,10 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         per_query[name] = round(materialize(qs[name](spark, sf_dir)), 3)
 
     total = sum(per_query.values())
+    streaming = _streaming_throughput(spark, sf_dir, n_turns)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {
+        "streaming": streaming,
         "metric": "headline_total_sec",
         "value": round(total, 3),
         "unit": "sec",
@@ -75,6 +77,42 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "turns_per_sec": round(n_turns * len(per_query) / total, 1),
         "n_turns": n_turns,
         "cpus": cpus,
+    }
+
+
+def _streaming_throughput(spark, sf_dir: str, n_turns: int) -> dict:
+    """Sustained streaming turns/sec: YSB windowed agg over chronological
+    micro-batches (file source, availableNow) — the BASELINE.json metric."""
+    import shutil
+    import pyspark.sql.functions as F
+    from saber_spark.plans.streaming_queries import _stage_chunks, _stream_schema
+    from saber_spark.streaming.jobs import read_transcript_stream, streaming_windowed_aggregate
+    from saber_spark.operators.aggregation import AggSpec
+    from saber_spark.operators.windows import RANGE, WindowDef
+
+    path = _stage_chunks(spark, sf_dir, "bench", n_files=8)
+    ckpt = os.path.join(REPO, ".tmp", "bench_stream_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = read_transcript_stream(spark, f"{path}/chunk=*",
+                                    max_files_per_trigger=1, schema=_stream_schema())
+    agg = streaming_windowed_aggregate(
+        stream.where(F.col("role") == "assistant"),
+        WindowDef(RANGE, 600),
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len"),
+         AggSpec("avg", "text_len", "avg_len")],
+        watermark="30 minutes",
+    )
+    t0 = time.perf_counter()
+    q = (agg.writeStream.outputMode("append").format("noop")
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    elapsed = time.perf_counter() - t0
+    progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    q.stop()
+    return {
+        "sec": round(elapsed, 3),
+        "turns_per_sec": round(n_turns / elapsed, 1),
+        "n_micro_batches": len(progress),
     }
 
 

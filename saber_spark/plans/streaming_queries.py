@@ -1,0 +1,129 @@
+"""Streaming queries surfaced through the driver contract.
+
+Each entry actually executes a Structured Streaming query over the
+transcripts (written as chronological parquet chunks, then streamed with
+``maxFilesPerTrigger``) and returns the materialized result — so the
+DuckDB oracle checks the *streaming* execution path end-to-end, not just
+the batch plan it shares.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saber_spark.operators.aggregation import AggSpec
+from saber_spark.operators.windows import RANGE, WindowDef
+from saber_spark.plans.registry import register
+from saber_spark.plans.saber_queries import _YSB_ORACLE, transcripts
+from saber_spark.sources.transcripts import with_transcripts_oracle
+from saber_spark.streaming.jobs import (
+    TRANSCRIPT_SCHEMA,
+    read_transcript_stream,
+    streaming_windowed_aggregate,
+)
+from saber_spark.streaming.stateful import streaming_count_windows
+
+_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def _stage_chunks(spark: SparkSession, sf_dir: str, tag: str, n_files: int = 4) -> str:
+    """Write transcripts as chronological chunk files for the file source."""
+    path = os.path.join(_TMP, "driver_stream", tag + "_" + os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(path, "_STAGED")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    t = transcripts(spark, sf_dir).withColumn("text_len", F.length("text").cast("long"))
+    lo, hi = t.select(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / n_files
+    for k in range(n_files):
+        a = lo + k * span
+        upper = None if k == n_files - 1 else lo + (k + 1) * span
+        cond = F.col("ts") >= F.lit(a)
+        if upper is not None:
+            cond = cond & (F.col("ts") < F.lit(upper))
+        t.where(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"chunk={k:03d}")
+        )
+    open(marker, "w").close()
+    return path
+
+
+def _stream_schema():
+    import pyspark.sql.types as T
+
+    return T.StructType(
+        TRANSCRIPT_SCHEMA.fields + [T.StructField("text_len", T.LongType())]
+    )
+
+
+def _run_complete(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
+    ckpt = os.path.join(_TMP, "driver_stream", f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        df.writeStream.outputMode("complete" if name.endswith("complete") else "append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # materialize before the memory sink table is replaced by a later run
+    out = spark.sql(f"SELECT * FROM {name}")
+    pdf = out.toPandas()
+    return spark.createDataFrame(pdf, schema=out.schema)
+
+
+@register("ysb_windowed_agg_streamed", _YSB_ORACLE)
+def ysb_windowed_agg_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YSB flagship executed as a Structured Streaming job (file
+    source in 4 chronological micro-batch groups, complete mode) —
+    streaming path checked against the same DuckDB oracle as the batch
+    plan."""
+    path = _stage_chunks(spark, sf_dir, "ysb")
+    stream = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    )
+    agg = streaming_windowed_aggregate(
+        stream.where(F.col("role") == "assistant"),
+        WindowDef(RANGE, 600),
+        [
+            AggSpec("cnt", "*", "n_turns"),
+            AggSpec("sum", "text_len", "sum_len"),
+            AggSpec("avg", "text_len", "avg_len"),
+        ],
+        watermark="30 minutes",
+    )
+    return _run_complete(spark, agg, "ysb_streamed_complete")
+
+
+_COUNTWIN_STREAM_ORACLE = with_transcripts_oracle("""
+SELECT conv_id,
+       CAST(floor(turn_idx / 16) AS BIGINT) AS window_id,
+       count(*)                             AS n_turns,
+       CAST(sum(length(text)) AS BIGINT)    AS sum_val
+FROM transcripts
+GROUP BY 1, 2
+HAVING count(*) >= 16
+""")
+
+
+@register("row_window_streamed_stateful", _COUNTWIN_STREAM_ORACLE)
+def row_window_streamed_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based windows as a custom stateful streaming operator
+    (applyInPandasWithState keyed on conv_id); completed windows only —
+    the oracle filters to full windows accordingly."""
+    path = _stage_chunks(spark, sf_dir, "cw")
+    stream = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    ).select("conv_id", "turn_idx", "text_len")
+    out = streaming_count_windows(stream, size=16, value_col="text_len").select(
+        "conv_id", "window_id", "n_turns", "sum_val"
+    )
+    return _run_complete(spark, out, "row_window_streamed")

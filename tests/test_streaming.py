@@ -1,0 +1,260 @@
+"""Structured Streaming: batch/stream parity, watermarks, exactly-once
+resume, stateful count windows, stream-stream join.
+
+Test corpus: the deterministic transcripts derivation at sf0.001 written
+as 6 time-range-ordered parquet files (chronological micro-batches, like
+the reference's in-timestamp-order stream — SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.operators.aggregation import AggSpec, windowed_aggregate
+from saber_spark.operators.windows import RANGE, ROW, WindowDef
+from saber_spark.plans.saber_queries import transcripts
+from saber_spark.streaming.jobs import (
+    read_transcript_stream,
+    streaming_stream_stream_join,
+    streaming_windowed_aggregate,
+)
+from saber_spark.streaming.sink import ExactlyOnceParquetSink
+from saber_spark.streaming.stateful import streaming_count_windows
+from tests.conftest import SF_SMOKE
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+AGGS = [
+    AggSpec("cnt", "*", "n_turns"),
+    AggSpec("sum", "text_len", "sum_len"),
+    AggSpec("max", "text_len", "max_len"),
+]
+
+
+def _write_ordered_stream(spark, path: str, n_files: int = 6) -> None:
+    """Six chronological parquet files (file k covers the k-th time span)."""
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    t = transcripts(spark, SF_SMOKE).withColumn(
+        "text_len", F.length("text").cast("long")
+    )
+    bounds = t.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / n_files
+    for k in range(n_files):
+        a = lo + k * span
+        b = hi if k == n_files - 1 else lo + (k + 1) * span
+        cond = (F.col("ts") >= F.lit(a)) & (
+            F.col("ts") <= F.lit(b) if k == n_files - 1 else F.col("ts") < F.lit(b)
+        )
+        t.where(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"chunk={k:03d}")
+        )
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    path = os.path.join(TMP, "transcripts_stream")
+    _write_ordered_stream(spark, path)
+    yield path
+
+
+def _stream_schema():
+    from saber_spark.streaming.jobs import TRANSCRIPT_SCHEMA
+    import pyspark.sql.types as T
+
+    return T.StructType(TRANSCRIPT_SCHEMA.fields + [T.StructField("text_len", T.LongType())])
+
+
+def _read_stream(spark, path, **kw):
+    return read_transcript_stream(spark, f"{path}/chunk=*", schema=_stream_schema(), **kw)
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(TMP, f"ckpt_{name}"))
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def _norm(pdf):
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_stream_batch_parity_complete_mode(spark, stream_dir):
+    """Complete-mode streaming windowed agg == batch result exactly."""
+    shutil.rmtree(os.path.join(TMP, "ckpt_par"), ignore_errors=True)
+    stream = _read_stream(spark, stream_dir, max_files_per_trigger=2)
+    agg = streaming_windowed_aggregate(stream, WindowDef(RANGE, 3600), AGGS,
+                                       keys=["role"], watermark="30 minutes")
+    q = _run_to_memory(agg, "par", "complete")
+    try:
+        got = _norm(spark.sql("SELECT * FROM par").toPandas())
+        batch = transcripts(spark, SF_SMOKE).withColumn(
+            "text_len", F.length("text").cast("long"))
+        want = _norm(windowed_aggregate(batch, WindowDef(RANGE, 3600), AGGS,
+                                        keys=["role"]).toPandas())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        q.stop()
+
+
+def test_stream_append_watermark_semantics(spark, stream_dir):
+    """Append mode emits exactly the windows closed by the final watermark,
+    with values identical to batch."""
+    shutil.rmtree(os.path.join(TMP, "ckpt_app"), ignore_errors=True)
+    stream = _read_stream(spark, stream_dir, max_files_per_trigger=2)
+    agg = streaming_windowed_aggregate(stream, WindowDef(RANGE, 3600), AGGS,
+                                       keys=[], watermark="30 minutes")
+    q = _run_to_memory(agg, "app", "append")
+    try:
+        wm = q.lastProgress["eventTime"]["watermark"]  # e.g. 2024-01-30T23:27:12.194Z
+        wm_epoch = pd.Timestamp(wm).timestamp()
+        got = _norm(spark.sql("SELECT * FROM app").toPandas())
+        batch = transcripts(spark, SF_SMOKE).withColumn(
+            "text_len", F.length("text").cast("long"))
+        full = windowed_aggregate(batch, WindowDef(RANGE, 3600), AGGS).toPandas()
+        cand_le = _norm(full[full.window_end <= wm_epoch])
+        cand_lt = _norm(full[full.window_end < wm_epoch])
+        ok = False
+        for cand in (cand_le, cand_lt):
+            if len(cand) == len(got):
+                pd.testing.assert_frame_equal(got, cand, check_dtype=False)
+                ok = True
+                break
+        assert ok, f"emitted {len(got)} rows; expected {len(cand_le)} (<=) or {len(cand_lt)} (<)"
+        assert len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_exactly_once_sink_resume(spark, stream_dir):
+    """Two-phase run with the same checkpoint: no dupes, no gaps; lineage
+    recorded per batch; re-driven batch is idempotent."""
+    out = os.path.join(TMP, "eo_out")
+    ckpt = os.path.join(TMP, "eo_ckpt")
+    staging = os.path.join(TMP, "eo_src")
+    for p in (out, ckpt, staging):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(staging)
+    chunks = sorted(os.listdir(stream_dir))
+    # phase 1: first 3 chunks
+    for c in chunks[:3]:
+        shutil.copytree(os.path.join(stream_dir, c), os.path.join(staging, c))
+    sink = ExactlyOnceParquetSink(out, ckpt)
+
+    def run_phase():
+        stream = _read_stream(spark, staging, max_files_per_trigger=1)
+        proj = stream.select("conv_id", "turn_idx", "text_len")
+        q = sink.start(proj, output_mode="append", availableNow=True)
+        q.awaitTermination(120)
+        q.stop()
+
+    run_phase()
+    n_phase1 = sink.read_committed(spark).count()
+    assert n_phase1 > 0
+    # phase 2: remaining chunks appear; resume from the same checkpoint
+    for c in chunks[3:]:
+        shutil.copytree(os.path.join(stream_dir, c), os.path.join(staging, c))
+    run_phase()
+
+    got = sink.read_committed(spark).select("conv_id", "turn_idx", "text_len")
+    batch = transcripts(spark, SF_SMOKE).select(
+        "conv_id", "turn_idx", F.length("text").cast("long").alias("text_len")
+    )
+    assert got.count() == batch.count()  # no dupes, no gaps
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+    lineage = sink.lineage(spark).toPandas()
+    assert lineage.n_rows.sum() == batch.count()
+    assert lineage.batch_id.is_unique
+
+    # idempotent re-drive: re-running a committed batch id is a no-op
+    some_batch = int(lineage.batch_id.iloc[0])
+    sink._foreach_batch(batch.limit(5), some_batch)
+    assert sink.read_committed(spark).count() == batch.count()
+    # crash between write and commit: marker missing -> re-drive overwrites
+    os.remove(sink._commit_path(some_batch))
+    sub = batch.limit(7)
+    sink._foreach_batch(sub, some_batch)
+    assert sink.is_committed(some_batch)
+
+
+def test_streaming_count_windows(spark, stream_dir):
+    """Stateful ROW windows: completed windows == batch row-window agg
+    restricted to full windows."""
+    shutil.rmtree(os.path.join(TMP, "ckpt_cw"), ignore_errors=True)
+    stream = _read_stream(spark, stream_dir, max_files_per_trigger=2).select(
+        "conv_id", "turn_idx", "text_len"
+    )
+    out = streaming_count_windows(stream, size=16, value_col="text_len")
+    q = _run_to_memory(out, "cw", "append")
+    try:
+        got = _norm(spark.sql("SELECT conv_id, window_id, n_turns, sum_val FROM cw").toPandas())
+        batch = transcripts(spark, SF_SMOKE).select(
+            "conv_id", "turn_idx", F.length("text").cast("long").alias("text_len")
+        )
+        full = windowed_aggregate(
+            batch,
+            WindowDef(ROW, 16),
+            [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_val")],
+        ).toPandas()
+        want = _norm(full[full.n_turns == 16])
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_parity(spark, stream_dir):
+    """Watermarked stream-stream join == batch join (chronological input,
+    interval-bounded state)."""
+    shutil.rmtree(os.path.join(TMP, "ckpt_ssj"), ignore_errors=True)
+    src = _read_stream(spark, stream_dir, max_files_per_trigger=2)
+    a = src.where(F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").alias("a_turn"), F.col("ts").alias("a_ts"))
+    b = _read_stream(spark, stream_dir, max_files_per_trigger=2).where(
+        F.col("role") == "tool").select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("b_turn"),
+        F.col("ts").alias("b_ts"))
+    joined = streaming_stream_stream_join(
+        a, b.withColumnRenamed("b_conv", "conv_id"),
+        key="conv_id", left_ts="a_ts", right_ts="b_ts",
+        time_bound_s=3600, watermark="30 minutes",
+    ).select(a["conv_id"].alias("conv_id"), "a_turn", "b_turn")
+    q = _run_to_memory(joined, "ssj", "append")
+    try:
+        got = _norm(spark.sql("SELECT * FROM ssj").toPandas())
+        t = transcripts(spark, SF_SMOKE)
+        ba = t.where(F.col("role") == "assistant").select(
+            "conv_id", F.col("turn_idx").alias("a_turn"), F.col("ts").alias("a_ts"))
+        bb = t.where(F.col("role") == "tool").select(
+            F.col("conv_id").alias("conv_id2"), F.col("turn_idx").alias("b_turn"),
+            F.col("ts").alias("b_ts"))
+        want = _norm(
+            ba.join(
+                bb,
+                (ba.conv_id == bb.conv_id2)
+                & (F.abs(ba.a_ts.cast("timestamp").cast("double")
+                         - bb.b_ts.cast("timestamp").cast("double")) <= 3600),
+            ).select("conv_id", "a_turn", "b_turn").toPandas()
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert len(got) > 0
+    finally:
+        q.stop()
