@@ -1,0 +1,216 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the point of each):
+
+- **exact_dedup** — one hash-groupBy on md5(normalized text): shuffle
+  volume is one 32-char hash + id per row; survivors = min(id) per
+  group. At 100 TB this is the cheapest possible full dedup (single
+  shuffle, map-side partial aggregation of the min).
+- **jaccard_pairs** — inverted-index self-join on shingles: explode
+  distinct shingles, join on shingle, count共 per pair. Never a cross
+  join; cost ∝ Σ posting-list², controlled by dropping ultra-frequent
+  shingles (stop_df) exactly like a search engine drops stopwords.
+- **minhash_lsh_pairs** — k independent MinHashes (min of md5(seed:s)
+  per doc — min of hex strings, engine-portable), candidates = pairs
+  sharing ≥1 minhash (banding with r=1: recall 1-(1-J)^k, ≈1 for
+  J ≥ 0.5 at k=16), then exact-Jaccard verification of candidates only.
+  At scale the candidate join is groupBy(seed, minhash) — tiny compared
+  to all-pairs.
+- **simhash** — 60-bit signature from per-token md5 bits (±1 vote per
+  bit, pure Catalyst expressions, no UDF); near-dup pairs join on any of
+  four 15-bit bands. Pigeonhole: hamming ≤ 3 bits can touch ≤ 3 bands,
+  so ≥ 1 band matches — band-join recall is exactly 1 for the
+  hamming ≤ 3 predicate while joining on 15-bit keys instead of
+  comparing all pairs.
+
+Embedding-cosine near-dup lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from saber_spark.operators.textops import normalize_text, word_shingles
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 15 bits each
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups by content hash; emits (content_hash, keep_id, n_copies)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_posts(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("_s")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    stop_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= threshold via inverted index.
+
+    ``stop_df``: drop shingles appearing in more than this many docs
+    (posting-list explosion guard for web-scale corpora; None = keep all
+    — exact, used when the oracle must match all-pairs Jaccard).
+    """
+    posts = _shingle_posts(df, id_col, text_col, n)
+    if stop_df is not None:
+        hot = posts.groupBy("_s").count().where(F.col("count") > stop_df).select("_s")
+        posts = posts.join(hot, "_s", "left_anti")
+    sizes = posts.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = posts.alias("a"), posts.alias("b")
+    common = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, k: int = 16,
+) -> DataFrame:
+    """k MinHashes per doc: min over shingles of md5('<seed>:'||shingle).
+
+    md5 hex strings order identically in every engine — no integer
+    conversion, fully portable to the SQL oracle.
+    """
+    posts = _shingle_posts(df, id_col, text_col, n)
+    seeded = posts.select(
+        "_id",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("_seed"),
+        "_s",
+    ).select(
+        "_id",
+        "_seed",
+        F.md5(F.concat(F.col("_seed").cast("string"), F.lit(":"), F.col("_s"))).alias("_h"),
+    )
+    return seeded.groupBy("_id", "_seed").agg(F.min("_h").alias("_minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs share >= 1 of k minhashes (LSH buckets keyed on
+    (seed, minhash)); candidates are then verified with exact Jaccard.
+    Returns (id_a, id_b, jaccard >= threshold)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._seed") == F.col("b._seed"))
+            & (F.col("a._minhash") == F.col("b._minhash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hex_digit(h: Column, pos: int) -> Column:
+    """Value 0..15 of hex char at 1-based pos (portable instr trick)."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1)) - 1
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash from distinct-token md5 bits (pure expressions).
+
+    bit i of token-hash = (hexdigit(md5, i//4) >> (i%4)) & 1; each token
+    votes ±1 per bit; signature bit set where the vote sum is positive.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("_t"),
+    ).withColumn("_h", F.md5(F.col("_t")))
+    votes = []
+    for i in range(SIMHASH_BITS):
+        digit = _hex_digit(F.col("_h"), i // 4 + 1)
+        bit = F.floor(digit / (2 ** (i % 4))).cast("long") % 2
+        votes.append(F.sum(bit * 2 - 1).alias(f"_v{i}"))
+    sums = toks.groupBy("_id").agg(*votes)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 15-bit band
+    join (exact for max_hamming <= SIMHASH_BANDS - 1 by pigeonhole)."""
+    sig = simhash(df, id_col, text_col)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    # integer shifts, not floor(x / 2^k): double division drops low bits
+    # of 60-bit signatures (simhash > 2^53)
+    bands = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        *[
+            (F.shiftright(F.col("simhash"), width * b) % (2**width)).alias(f"_b{b}")
+            for b in range(SIMHASH_BANDS)
+        ],
+    )
+    # one equi-join per band, unioned — each is a hash join keyed on a
+    # 15-bit value (an OR-of-bands condition would degrade to a nested
+    # loop join; the union keeps every probe hash-partitioned)
+    per_band = []
+    for b in range(SIMHASH_BANDS):
+        a, b_ = bands.alias("a"), bands.alias("b")
+        per_band.append(
+            a.join(
+                b_,
+                (F.col(f"a._b{b}") == F.col(f"b._b{b}"))
+                & (F.col("a._id") < F.col("b._id")),
+            ).select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+        )
+    pairs = per_band[0]
+    for p in per_band[1:]:
+        pairs = pairs.unionByName(p)
+    return pairs.where(F.col("hamming") <= max_hamming).distinct()

@@ -1,0 +1,147 @@
+"""Text-analysis operators for training-data pipelines.
+
+Outside the reference's scope (its scalar surface is arithmetic only —
+SURVEY.md §2.3) but first-class for a transcript/document engine at
+100 TB: language-ID, quality scoring, token counting, fingerprinting.
+
+All operators are pure Catalyst column expressions (no UDFs): they
+codegen into the scan stage and cost one pass over the text. Each has a
+DuckDB-replicable definition so the driver value-checks them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: str | Column) -> Column:
+    """lower + collapse whitespace + trim (SQL twin: LOWER/TRIM +
+    regexp_replace(.., '\\s+', ' ', 'g'))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def words(col: str | Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct n-word shingles; whole text if shorter than n words."""
+    w = words(col)
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= n, shingled).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+def char_ngrams(col: str | Column, n: int = 8) -> Column:
+    """Distinct character n-grams of the normalized text."""
+    t = normalize_text(col)
+    return F.array_distinct(
+        F.when(
+            F.length(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: F.substring(t, i, n),
+            ),
+        ).otherwise(F.array(t))
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """BPE-ish proxy: alpha runs + digit runs + single punctuation marks
+    each count as one token (same RE2/Java-regex-compatible pattern as
+    the SQL oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+
+
+#: stopwords for quality scoring / language scoring (deterministic list)
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+
+_LANG_MARKERS = {
+    "en": ("the", "data", "is"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "est"),
+    "zh": ("zh0", "zh1", "zh2"),  # placeholder markers (synthetic corpus)
+}
+
+
+def _count_word(w: Column, target: str) -> Column:
+    return F.size(F.filter(w, lambda x: x == F.lit(target)))
+
+
+def stopword_ratio(col: str | Column) -> Column:
+    w = words(col)
+    cnt = None
+    for s in STOPWORDS:
+        c = _count_word(w, s)
+        cnt = c if cnt is None else cnt + c
+    return F.round(cnt / F.size(w), 6)
+
+
+def quality_score(col: str | Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + stopword
+    presence + punctuation sparsity + mean word length band. The exact
+    formula is the contract (SQL twin in pipeline_queries.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = normalize_text(c)
+    w = words(c)
+    n_chars = F.length(t)
+    n_words = F.size(w)
+    mean_wl = (n_chars - (n_words - 1)) / n_words  # chars minus separators
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^a-z0-9\s]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 2000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stopword_ratio(c) > 0.02, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return F.round(score, 2)
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Marker-word frequency score per language (n-gram heuristic)."""
+    w = words(col)
+    return {
+        lang: sum((_count_word(w, m) for m in markers), F.lit(0)) / F.size(w)
+        for lang, markers in _LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(col: str | Column) -> Column:
+    """argmax of lang_scores, ties broken by language-code order; all-zero
+    scores fall back to 'und'."""
+    scores = lang_scores(col)
+    langs = sorted(scores)
+    best = None
+    best_score = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(col: str | Column, ngram: int = 8) -> Column:
+    """Winnowing-style document fingerprint: the lexicographic minimum of
+    md5(char-8-gram) over the normalized text — a rolling-hash content
+    fingerprint robust to local edits (equal for docs sharing their
+    minimal gram)."""
+    grams = char_ngrams(col, ngram)
+    return F.array_min(F.transform(grams, lambda g: F.md5(g)))

@@ -1,0 +1,375 @@
+"""Training-data pipeline queries over documents/embeddings.
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search
+(exact cosine pairs + top-k, random-hyperplane LSH ANN), text analysis
+(language-ID, quality score, token counts, fingerprint), and multimodal
+metadata extraction. Every query has a DuckDB oracle that reproduces the
+operator's exact definition (shared hash/arithmetic constructions: md5
+strings, integer-arithmetic hyperplanes, hex-digit bit extraction), so
+the driver value-checks them, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from saber_spark.operators import dedup as dd
+from saber_spark.operators import multimodal as mm
+from saber_spark.operators import similarity as sim
+from saber_spark.operators import textops as tx
+from saber_spark.plans.registry import register
+from saber_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# shared DuckDB fragments (mirror textops.normalize_text / word_shingles)
+# --------------------------------------------------------------------------
+
+_W = r"""
+w AS (
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+    FROM documents
+)
+"""
+
+_SHINGLES = r"""
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(words) >= 3
+               THEN list_transform(range(1, len(words) - 1),
+                                   i -> array_to_string(words[i:i+2], ' '))
+               ELSE [array_to_string(words, ' ')] END) AS shingles
+    FROM w
+)
+"""
+
+_POSTS = "posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh)"
+
+_JACCARD_PAIRS = """
+sizes AS (SELECT doc_id, count(*) AS n FROM posts GROUP BY 1),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+    FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+WITH {_W}
+SELECT md5(nt) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM w GROUP BY 1
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+_JACCARD_ORACLE = f"""
+WITH {_W}, {_SHINGLES}, {_POSTS}, {_JACCARD_PAIRS}
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (3-word-shingle Jaccard >= 0.8, inverted index)."""
+    return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+# MinHash-LSH: candidates share >=1 of 16 md5 minhashes; banding with r=1
+# gives recall 1-(1-J)^16 (≈1 above the 0.5 threshold), so the verified
+# output equals the exact-Jaccard pair set — which is the oracle.
+_MINHASH_ORACLE = f"""
+WITH {_W}, {_SHINGLES}, {_POSTS}, {_JACCARD_PAIRS}
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), k=16, threshold=0.5)
+
+
+def _simhash_sql_cte() -> str:
+    """DuckDB CTE computing the identical 60-bit simhash per doc."""
+    votes = []
+    for i in range(dd.SIMHASH_BITS):
+        digit = f"(instr('0123456789abcdef', substr(h, {i // 4 + 1}, 1)) - 1)"
+        bit = f"(CAST(floor({digit} / {2 ** (i % 4)}) AS BIGINT) % 2)"
+        votes.append(f"SUM({bit} * 2 - 1) AS v{i}")
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+tok AS (SELECT doc_id, unnest(list_distinct(words)) AS t FROM w),
+th AS (SELECT doc_id, md5(t) AS h FROM tok),
+votes AS (SELECT doc_id, {", ".join(votes)} FROM th GROUP BY doc_id),
+sv AS (SELECT doc_id, {sig_terms} AS simhash FROM votes)
+"""
+
+
+_SIMHASH_ORACLE = f"WITH {_W}, {_simhash_sql_cte()} SELECT doc_id, simhash FROM sv"
+
+
+@register("dedup_simhash_values", _SIMHASH_ORACLE)
+def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+# band join is exact for hamming<=3 (pigeonhole over 4 bands), so the
+# oracle can be the plain all-pairs hamming predicate.
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_W}, {_simhash_sql_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def _dotseq(a: str, b: str) -> str:
+    """Sequential left-fold dot product — bit-identical to Spark's
+    F.aggregate(zip_with(...)) fold (list_dot_product may sum in a
+    different order and flip the last ulp)."""
+    return (
+        f"list_reduce(list_transform(range(1, 65),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+        " (x, y) -> x + y)"
+    )
+
+
+_COS_NORM = f"""
+nv AS (SELECT vec_id, embedding,
+              sqrt({_dotseq("embedding", "embedding")}) AS nrm
+       FROM embeddings)
+"""
+
+_COS_PAIRS_ORACLE = f"""
+WITH {_COS_NORM}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_dotseq("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE round({_dotseq("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.45
+"""
+
+
+@register("similarity_cosine_pairs", _COS_PAIRS_ORACLE)
+def similarity_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_pairs(_embs(spark, sf_dir), threshold=0.45)
+
+
+_TOPK_ORACLE = f"""
+WITH {_COS_NORM},
+scored AS (
+    SELECT q.vec_id AS query_id, b.vec_id AS nbr_id,
+           round({_dotseq("q.embedding", "b.embedding")} / (q.nrm * b.nrm), 6) AS cosine
+    FROM nv q JOIN nv b ON q.vec_id != b.vec_id
+    WHERE q.vec_id < 20
+)
+SELECT query_id, nbr_id, cosine, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+
+@register("similarity_cosine_topk", _TOPK_ORACLE)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-5 neighbours for query vectors vec_id<20."""
+    e = _embs(spark, sf_dir)
+    return sim.cosine_topk(e, e.where(F.col("vec_id") < 20), k=5)
+
+
+def _rp_bucket_sql(n_planes: int = 12) -> str:
+    terms = []
+    for j in range(n_planes):
+        coeff = f"(((i * 2654435761 + {(j + 1) * 40503}) % 997) / 997.0 - 0.5)"
+        proj = (
+            f"list_reduce(list_transform(range(1, 65),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * {coeff}),"
+            " (x, y) -> x + y)"
+        )
+        terms.append(
+            f"(CASE WHEN round({proj}, 6) > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_RP_ORACLE = f"""
+WITH bk AS (SELECT vec_id, embedding, {_rp_bucket_sql()} AS bucket FROM embeddings),
+nb AS (SELECT vec_id, embedding, bucket,
+              sqrt({_dotseq("embedding", "embedding")}) AS nrm FROM bk)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_dotseq("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cosine
+FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_dotseq("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.4
+"""
+
+
+@register("similarity_rp_lsh_pairs", _RP_ORACLE)
+def similarity_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: random-hyperplane LSH candidates + exact verification
+    (the scale path; recall vs the exact baseline measured in tests)."""
+    return sim.rp_lsh_pairs(_embs(spark, sf_dir), n_planes=12, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def _count_word_sql(word: str) -> str:
+    return f"len(list_filter(words, x -> x = '{word}'))"
+
+
+def _lang_sql() -> str:
+    scores = []
+    for lang, markers in sorted(tx._LANG_MARKERS.items()):
+        total = " + ".join(_count_word_sql(m) for m in markers)
+        scores.append(f"(({total}) / len(words)) AS s_{lang}")
+    langs = sorted(tx._LANG_MARKERS)
+    mx = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pick = " ".join(f"WHEN s_{l} = {mx} THEN '{l}'" for l in langs)
+    return f"""
+scores AS (SELECT doc_id, {", ".join(scores)} FROM w),
+pred AS (SELECT doc_id,
+                CASE WHEN {mx} <= 0 THEN 'und' {pick} END AS predicted_lang
+         FROM scores)
+"""
+
+
+_LANGID_ORACLE = f"WITH {_W}, {_lang_sql()} SELECT doc_id, predicted_lang FROM pred"
+
+
+@register("text_langid", _LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", tx.predicted_lang("text").alias("predicted_lang"))
+
+
+_STOP_SUM = " + ".join(_count_word_sql(s) for s in tx.STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH {_W},
+feat AS (
+    SELECT doc_id,
+           length(nt) AS n_chars,
+           len(words) AS n_words,
+           (length(nt) - (len(words) - 1)) / len(words) AS mean_wl,
+           (length(nt) - length(regexp_replace(nt, '[^a-z0-9\\s]', '', 'g')))
+               / greatest(length(nt), 1) AS punct_ratio,
+           round(({_STOP_SUM}) / len(words), 6) AS stop_ratio
+    FROM w
+)
+SELECT doc_id,
+       round(
+         (CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN stop_ratio > 0.02 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN mean_wl >= 3 AND mean_wl <= 12 THEN 0.25 ELSE 0.0 END), 2)
+       AS quality
+FROM feat
+"""
+
+
+@register("text_quality_score", _QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+_TOKENS_ORACLE = f"""
+WITH {_W}
+SELECT w.doc_id AS doc_id,
+       CAST(len(words) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER)
+           AS bpe_tokens
+FROM w JOIN documents d ON d.doc_id = w.doc_id
+"""
+
+
+@register("text_token_counts", _TOKENS_ORACLE)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("ws_tokens"),
+        tx.bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH {_W}
+SELECT doc_id,
+       list_min(list_transform(
+           CASE WHEN length(nt) >= 8
+                THEN list_transform(range(1, length(nt) - 6), i -> substr(nt, i, 8))
+                ELSE [nt] END,
+           g -> md5(g))) AS fingerprint
+FROM w
+"""
+
+
+@register("text_fingerprint", _FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (min md5 of char 8-grams)."""
+    return _docs(spark, sf_dir).select("doc_id", tx.fingerprint("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal metadata (payload = utf8 bytes of text; corpus is ASCII —
+# asserted in tests — so DuckDB codepoints equal Python bytes)
+# --------------------------------------------------------------------------
+
+_MEDIA_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(ord(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(ord(substr(text, length(text), 1)) AS INTEGER) AS last_byte,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                    i -> ord(substr(text, i, 1)))) % 999983 AS BIGINT)
+           AS byte_checksum
+FROM documents
+"""
+
+
+@register("multimodal_metadata", _MEDIA_ORACLE)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents.text as opaque utf8 payloads →
+    byte metadata via mapInPandas (multimodal.py; decode itself is
+    stubbed — no codecs in this container)."""
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return mm.extract_metadata(media)

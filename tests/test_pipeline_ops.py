@@ -1,0 +1,104 @@
+"""Training-data pipeline operators: invariants beyond the oracle checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.operators import dedup as dd
+from saber_spark.operators import multimodal as mm
+from saber_spark.operators import similarity as sim
+from saber_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_ORACLE, "documents")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF_ORACLE, "embeddings")
+
+
+def test_minhash_lsh_recall_is_total(spark, docs):
+    """k=16 r=1 banding must recover every pair with J >= 0.5 here
+    (recall 1-(1-J)^16; validated exactly on this corpus)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(docs, k=16, threshold=0.5).collect()}
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_separates_near_dups_from_random(spark, docs):
+    """Near-dup pairs (Jaccard >= 0.95) must have far smaller hamming
+    distance than random pairs (expected ~30 of 60 bits)."""
+    near = dd.jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    sig = dd.simhash(docs)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    near_ham = (
+        near.join(a, "id_a").join(b, "id_b").select(ham.alias("h")).toPandas()["h"]
+    )
+    rand = (
+        a.join(b, (F.col("id_b") == F.col("id_a") + 250))
+        .select(ham.alias("h"))
+        .toPandas()["h"]
+    )
+    assert len(near_ham) > 0
+    # corpus shares a tiny vocabulary, so even random pairs sit ~13 bits
+    # apart; the operator's contract is *relative* separation
+    assert near_ham.mean() < rand.mean() - 5
+    assert rand.mean() > 10
+
+
+def test_rp_lsh_recall_measured(spark, embs):
+    """LSH ANN trades recall for candidate reduction; report + bound it.
+    (12 planes, threshold 0.4: same-bucket requirement is strict, so
+    recall is partial by design — must be > 0 and candidates ≪ n²)."""
+    exact = sim.cosine_pairs(embs, threshold=0.4).count()
+    lsh = sim.rp_lsh_pairs(embs, n_planes=12, threshold=0.4).count()
+    assert exact > 0
+    assert 0 < lsh <= exact
+    buckets = sim.rp_lsh_buckets(embs).groupBy("bucket").count().toPandas()
+    n = embs.count()
+    cand = int((buckets["count"] * (buckets["count"] - 1) / 2).sum())
+    assert cand < n * (n - 1) / 2 * 0.05, "bucketing must prune >95% of the pair space"
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    dup = docs.unionByName(docs)  # every doc duplicated
+    out = dd.exact_dedup(dup).toPandas()
+    assert (out.n_copies == 2).all()
+    assert len(out) == docs.count()
+
+
+def test_multimodal_stub_gating():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"\x00" * 16)
+    assert mm.fake_decode_header((1024).to_bytes(4, "big") + (768).to_bytes(4, "big")) == {
+        "width": 1024,
+        "height": 768,
+    }
+
+
+def test_multimodal_frame_sample(spark, docs):
+    media = docs.limit(20).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = mm.frame_sample_stub(media, every_n=30).toPandas()
+    assert (frames.frame_idx % 30 == 0).all()
+    assert len(frames) > 0
+
+
+def test_corpus_is_ascii(spark, docs):
+    """The multimodal oracle equates DuckDB codepoints with utf-8 bytes —
+    valid only while the corpus is ASCII; guard that assumption."""
+    non_ascii = docs.where(F.length("text") != F.octet_length("text")).count()
+    assert non_ascii == 0
