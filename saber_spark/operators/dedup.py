@@ -103,16 +103,28 @@ def minhash_signatures(
     conversion, fully portable to the SQL oracle.
     """
     posts = _shingle_posts(df, id_col, text_col, n)
-    seeded = posts.select(
-        "_id",
-        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("_seed"),
-        "_s",
-    ).select(
-        "_id",
-        "_seed",
-        F.md5(F.concat(F.col("_seed").cast("string"), F.lit(":"), F.col("_s"))).alias("_h"),
+    # k min-aggregates in ONE groupBy over the shingle postings — not a
+    # k-way seed explode: same values, k× less shuffle volume, and the
+    # md5 calls stay in a single codegen'd projection
+    wide = posts.groupBy("_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"_m{j}")
+            for j in range(k)
+        ]
     )
-    return seeded.groupBy("_id", "_seed").agg(F.min("_h").alias("_minhash"))
+    return wide.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("_seed"), F.col(f"_m{j}").alias("_minhash")
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("_x"),
+    ).select("_id", F.col("_x._seed").alias("_seed"), F.col("_x._minhash").alias("_minhash"))
 
 
 def minhash_lsh_pairs(

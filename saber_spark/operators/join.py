@@ -114,3 +114,32 @@ def asof_join(
         *[F.col(f"_lv_{c}").alias(c) for c in lcols],
         *[F.col(f"_asof_{v}").alias(f"asof_{v}") for v in right_values],
     )
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    extra: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: left rows get a deterministic salt in
+    [0, n_salt); the right side is replicated n_salt times; the join key
+    becomes (key, salt). A hot key (one conversation with millions of
+    turns — the Zipf head of the north_star workload) is thereby spread
+    over n_salt shuffle partitions instead of one straggler task.
+
+    Result rows are identical to the unsalted join (verified against the
+    same oracle in plans/saber_queries.py). Use when AQE's skew-join
+    splitting isn't available or the skew is known up front; cost is
+    n_salt× replication of the (smaller) right side.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    l_s = left.withColumn("_salt", salt)
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    r_s = right.withColumn("_salt", salts)
+    cond = (l_s[key] == r_s[key]) & (l_s["_salt"] == r_s["_salt"])
+    if extra is not None:
+        cond = cond & extra
+    return l_s.join(r_s, cond, how).drop("_salt")

@@ -394,3 +394,143 @@ def cm1_pane_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pane_windowed_aggregate(
         _cm1_input(spark, sf_dir), WindowDef(RANGE, 3600, 300),
         _CM1_AGGS, keys=["tool"], method="incremental")
+
+
+# --------------------------------------------------------------------------
+# NoOp (reference operator #8) — identity; also the north_rule's per-turn
+# text-equality invariant surfaced through the driver's value-hash check
+# --------------------------------------------------------------------------
+
+_NOOP_ORACLE = with_transcripts_oracle("""
+SELECT conv_id, turn_idx, role, text, tool, epoch(ts) AS ts_epoch
+FROM transcripts
+""")
+
+
+@register("noop_identity_turns", _NOOP_ORACLE)
+def noop_identity_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NoOp operator (NoOp.java:16-39): framework-overhead baseline. The
+    value-hash over (conv_id, turn_idx, text) IS the BASELINE.json
+    per-turn text-equality invariant."""
+    return transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.col("ts").cast("timestamp").cast("double").alias("ts_epoch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W2-style: cheap projection -> sum reduction over row windows
+# (scheduling/W2.java:213-250)
+# --------------------------------------------------------------------------
+
+_W2_ORACLE = with_transcripts_oracle("""
+SELECT conv_id,
+       CAST(floor(turn_idx / 32) AS BIGINT)        AS window_id,
+       CAST(sum(2 * length(text) + 1) AS BIGINT)   AS sum_proj,
+       count(*)                                     AS n_turns
+FROM transcripts
+GROUP BY 1, 2
+""")
+
+
+@register("w2_projection_reduction", _W2_ORACLE)
+def w2_projection_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts(spark, sf_dir)
+    proj = t.select(
+        "conv_id", "turn_idx",
+        (F.length("text").cast("long") * 2 + 1).alias("proj_val"),
+    )
+    return windowed_aggregate(
+        proj, WindowDef(ROW, 32),
+        [AggSpec("sum", "proj_val", "sum_proj"), AggSpec("cnt", "*", "n_turns")],
+    ).select("conv_id", "window_id", "sum_proj", "n_turns")
+
+
+# --------------------------------------------------------------------------
+# Salted theta join — identical semantics to theta_join_windowed (same
+# oracle), hot conv_ids spread over 8 shuffle buckets (north_star skew)
+# --------------------------------------------------------------------------
+
+@register("theta_join_salted", _THETA_ORACLE)
+def theta_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from saber_spark.operators.join import salted_equi_join
+
+    t = transcripts(spark, sf_dir)
+    a = t.where(cmp("role", "=", "assistant")).select(
+        F.col("conv_id"), F.col("turn_idx").alias("a_turn"),
+        F.length("text").alias("a_len"), F.col("ts").alias("a_ts"))
+    b = t.where(cmp("role", "=", "tool")).select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("b_turn"),
+        F.length("text").alias("b_len"), F.col("ts").alias("b_ts"))
+    extra = (
+        (F.abs(F.col("a_ts").cast("timestamp").cast("double")
+               - F.col("b_ts").cast("timestamp").cast("double")) <= 21600.0)
+        & (F.col("a_len") > F.col("b_len"))
+    )
+    joined = salted_equi_join(
+        a, b.withColumnRenamed("b_conv", "conv_id"), key="conv_id",
+        n_salt=8, extra=extra,
+    )
+    return joined.select(a["conv_id"].alias("conv_id"),
+                         "a_turn", "b_turn", "a_len", "b_len")
+
+
+# --------------------------------------------------------------------------
+# LRB-style multi-window CEP DAG (Linear-Road shape; reference builds this
+# with query1.connectTo(query2) — Query.java:243-264. Here it is one
+# Catalyst plan: windowed agg -> join back -> second windowed agg.)
+# --------------------------------------------------------------------------
+
+_LRB_ORACLE = with_transcripts_oracle("""
+, flagged AS (
+    SELECT conv_id,
+           CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS w30,
+           count(*) AS n_code
+    FROM transcripts
+    WHERE tool = 'code'
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+),
+tolled AS (
+    SELECT t.conv_id AS conv_id, t.turn_idx, length(t.text) AS text_len, f.w30
+    FROM transcripts t
+    JOIN flagged f
+      ON f.conv_id = t.conv_id
+     AND CAST(floor(epoch(t.ts) / 1800) AS BIGINT) * 1800 = f.w30
+)
+SELECT w30 AS window_start,
+       count(*)                 AS n_tolled_turns,
+       count(DISTINCT conv_id)  AS n_convs,
+       avg(text_len)            AS avg_len
+FROM tolled
+GROUP BY 1
+""")
+
+
+@register("lrb_cep_pipeline", _LRB_ORACLE)
+def lrb_cep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accident-detection shape: stage 1 flags 30-min conversation windows
+    with >= 2 'code' tool turns; stage 2 joins every turn of a flagged
+    (conv, window) back; stage 3 aggregates per window. Three operators
+    chained in one plan — Catalyst reuses the window expression and the
+    flagged side is broadcast (it is the small output of an aggregation)."""
+    t = transcripts(spark, sf_dir)
+    w30 = (F.floor(F.col("ts").cast("timestamp").cast("double") / 1800).cast("long") * 1800)
+    flagged = (
+        t.where(cmp("tool", "=", "code"))
+        .groupBy(F.col("conv_id").alias("f_conv"), w30.alias("w30"))
+        .agg(F.count(F.lit(1)).alias("n_code"))
+        .where(F.col("n_code") >= 2)
+    )
+    tolled = t.withColumn("t_w30", w30).join(
+        F.broadcast(flagged),
+        (F.col("conv_id") == F.col("f_conv")) & (F.col("t_w30") == F.col("w30")),
+    )
+    return (
+        tolled.groupBy(F.col("w30").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tolled_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.avg(F.length("text")).alias("avg_len"),
+        )
+    )

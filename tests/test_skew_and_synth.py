@@ -1,0 +1,89 @@
+"""Skew handling (salting) and the deterministic transcript synthesizer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.operators.join import salted_equi_join, windowed_theta_join
+from saber_spark.sources.transcripts import synthesize_transcripts
+
+
+@pytest.fixture(scope="module")
+def zipf(spark):
+    return synthesize_transcripts(
+        spark, n_turns=20_000, n_convs=500, seed=7, zipf_exponent=3.0
+    ).cache()
+
+
+def test_synthesizer_deterministic_across_parallelism(spark):
+    """Pure function of (id, seed): identical rows at any partition count."""
+    a = synthesize_transcripts(spark, n_turns=5_000, n_convs=100, seed=11, partitions=2)
+    b = synthesize_transcripts(spark, n_turns=5_000, n_convs=100, seed=11, partitions=16)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == 5_000
+
+
+def test_synthesizer_invariants(spark, zipf):
+    # (conv_id, turn_idx) is a primary key; ts strictly monotone per conv
+    n = zipf.count()
+    assert zipf.select("conv_id", "turn_idx").distinct().count() == n
+    w = zipf.groupBy("conv_id").agg(
+        F.max("turn_idx").alias("mx"), F.count(F.lit(1)).alias("c")
+    )
+    assert w.where(F.col("mx") != F.col("c") - 1).count() == 0  # dense idx
+    from pyspark.sql import Window
+
+    lagged = zipf.withColumn(
+        "prev", F.lag("ts").over(Window.partitionBy("conv_id").orderBy("turn_idx"))
+    )
+    assert lagged.where(F.col("prev") >= F.col("ts")).count() == 0
+
+
+def test_zipf_skew_present(spark, zipf):
+    """The head conversation must dominate (exercises the salting path)."""
+    counts = zipf.groupBy("conv_id").count().toPandas().sort_values("count", ascending=False)
+    # u^3 mapping: head conv draws (1/n_convs)^(1/3) ≈ 12.6% of all turns
+    assert counts.iloc[0]["count"] > 0.08 * counts["count"].sum()
+    assert counts.iloc[0]["count"] > 20 * counts["count"].median()
+
+
+def test_salted_join_equals_plain_join_under_skew(spark, zipf):
+    a = zipf.where(F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").alias("a_turn"), F.col("ts").alias("a_ts"))
+    b = zipf.where(F.col("role") == "tool").select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("b_turn"),
+        F.col("ts").alias("b_ts"))
+    bound = (
+        F.abs(F.col("a_ts").cast("timestamp").cast("double")
+              - F.col("b_ts").cast("timestamp").cast("double")) <= 60.0
+    )
+    plain = windowed_theta_join(
+        a, b.withColumnRenamed("b_conv", "conv_id"), keys=("conv_id",),
+        time_bound_s=60, left_ts="a_ts", right_ts="b_ts",
+    ).select(a["conv_id"], "a_turn", "b_turn")
+    salted = salted_equi_join(
+        a, b.withColumnRenamed("b_conv", "conv_id"), key="conv_id",
+        n_salt=8, extra=bound,
+    ).select(a["conv_id"], "a_turn", "b_turn")
+    assert plain.count() > 0
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salting_spreads_hot_key(spark, zipf):
+    """The hot conversation's rows must land in all n_salt buckets."""
+    hot = (
+        zipf.groupBy("conv_id").count().orderBy(F.col("count").desc()).first()["conv_id"]
+    )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in zipf.columns]), F.lit(8))
+    spread = (
+        zipf.where(F.col("conv_id") == hot)
+        .select(salt.alias("s"))
+        .groupBy("s")
+        .count()
+        .toPandas()
+    )
+    assert len(spread) == 8
+    assert spread["count"].min() > 0.05 * spread["count"].sum()
