@@ -127,3 +127,57 @@ def row_window_streamed_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "window_id", "n_turns", "sum_val"
     )
     return _run_complete(spark, out, "row_window_streamed")
+
+
+# Sessions whose end (last ts + gap) is at or below the final watermark are
+# flushed by the no-data micro-batch; the oracle reproduces exactly that
+# subset with a scalar-subquery watermark (max ts - delay over the whole
+# input — deterministic for bounded replay).
+_SESSION_STREAM_GAP = 1800
+_SESSION_STREAM_DELAY = 1800
+
+_SESSION_STREAMED_ORACLE = with_transcripts_oracle(f"""
+, marked AS (
+    SELECT conv_id, turn_idx, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= {_SESSION_STREAM_GAP}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+),
+sess AS (
+    SELECT *, SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                  ROWS UNBOUNDED PRECEDING) AS sess_no
+    FROM marked
+),
+wm AS (SELECT max(ts) AS max_ts FROM transcripts)
+SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) + {_SESSION_STREAM_GAP} AS session_end,
+       conv_id,
+       count(*) AS n_turns
+FROM sess
+GROUP BY conv_id, sess_no
+HAVING epoch(max(ts)) + {_SESSION_STREAM_GAP}
+       <= (SELECT epoch(max_ts) FROM wm) - {_SESSION_STREAM_DELAY}
+""")
+
+
+@register("session_window_streamed", _SESSION_STREAMED_ORACLE)
+def session_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session windows on a real stream (append mode): the
+    driver value-checks exactly the sessions the watermark closed."""
+    from saber_spark.operators.aggregation import AggSpec
+    from saber_spark.streaming.jobs import streaming_session_aggregate
+
+    path = _stage_chunks(spark, sf_dir, "sess")
+    stream = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    )
+    agg = streaming_session_aggregate(
+        stream,
+        gap_s=_SESSION_STREAM_GAP,
+        aggs=[AggSpec("cnt", "*", "n_turns")],
+        keys=("conv_id",),
+        watermark=f"{_SESSION_STREAM_DELAY} seconds",
+    )
+    return _run_complete(spark, agg, "session_streamed")
