@@ -279,3 +279,65 @@ def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("o_totalprice") + 1), 4).alias("log_price"),
         F.length(F.concat("o_orderstatus", "o_orderpriority")).alias("status_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot
+# --------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (event_type = 'purchase') AS DOUBLE)
+           AS purchase_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("pivot_events_by_type", _PIVOT_ORACLE)
+def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as wide columns (conditional
+    aggregation — the distributed pivot pattern; Spark's .pivot() builds
+    the same plan, written explicitly here so column names are stable)."""
+    ev = _t(spark, sf_dir, "events")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(is_("click"), 1)).alias("n_click"),
+        F.count(F.when(is_("view"), 1)).alias("n_view"),
+        F.count(F.when(is_("purchase"), 1)).alias("n_purchase"),
+        F.sum(F.when(is_("purchase"), F.col("value").cast("decimal(28,6)")))
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (stack): wide per-row measures -> long (measure, value) rows
+# --------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+FROM (
+    SELECT l_orderkey, l_linenumber,
+           unnest(['quantity', 'extendedprice', 'discount']) AS measure,
+           unnest([l_quantity, l_extendedprice, l_discount]) AS val
+    FROM lineitem
+    WHERE l_orderkey % 199 = 0
+)
+"""
+
+
+@register("unpivot_lineitem_measures", _UNPIVOT_ORACLE)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 199 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, val)"
+        ),
+    )

@@ -51,3 +51,18 @@ class ProgressCollector(StreamingQueryListener):
                 "watermark string, state_rows long",
             )
         return spark.createDataFrame(self.rows)
+
+
+def latency_percentiles(progress_df: DataFrame) -> DataFrame:
+    """p5/p25/p50/p75/p99 of micro-batch durations — the reference's
+    latency report shape (LatencyMonitor.java:83-107), computed over the
+    ProgressCollector table instead of per-tuple timestamps."""
+    from pyspark.sql import functions as F
+
+    return progress_df.agg(
+        *[
+            F.percentile_approx("batch_duration_ms", p / 100.0, 10000).alias(f"p{p}")
+            for p in (5, 25, 50, 75, 99)
+        ],
+        F.count(F.lit(1)).alias("n_batches"),
+    )

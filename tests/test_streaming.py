@@ -287,9 +287,16 @@ def test_progress_collector_metrics(spark, stream_dir):
             if collector.rows:
                 break
             _time.sleep(0.5)
-        mdf = collector.to_df(spark).toPandas()
+        snapshot = collector.to_df(spark)  # one snapshot: listener is async
+        mdf = snapshot.toPandas()
         assert len(mdf) > 0
         assert (mdf.input_rows.fillna(0) >= 0).all()
         assert mdf.batch_id.notna().any()
+        # latency percentiles (LatencyMonitor.java:83-107 report shape)
+        from saber_spark.streaming.metrics import latency_percentiles
+
+        lat = latency_percentiles(snapshot).toPandas()
+        assert lat.n_batches.iloc[0] == len(mdf)
+        assert lat.p99.iloc[0] >= lat.p50.iloc[0] >= lat.p5.iloc[0]
     finally:
         spark.streams.removeListener(collector)
