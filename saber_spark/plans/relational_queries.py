@@ -340,4 +340,4 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
             " 'discount', l_discount) AS (measure, val)"
         ),
-    )
+    ).withColumn("val", F.col("val").cast("double"))
