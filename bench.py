@@ -36,6 +36,9 @@ HEADLINE = [
     "w1_deep_projection_groupby",
     "w3_wide_or_selection",
     "row_window_sliding_agg",
+    "theta_join_windowed",
+    "sg2_local_vs_global_avg",
+    "lrb_cep_pipeline",
 ]
 
 

@@ -534,3 +534,60 @@ def lrb_cep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.length("text")).alias("avg_len"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SG2-style (smart-grid): per-key windowed average vs the global windowed
+# average in the same window — keys exceeding the global (outliers).
+# Reference runs SG1-SG3 in figure-07 (scripts name them; this is the
+# canonical SG2 shape: local-vs-global load comparison).
+# --------------------------------------------------------------------------
+
+_SG2_ORACLE = with_transcripts_oracle("""
+, per_conv AS (
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           conv_id,
+           count(*)         AS n_turns,
+           avg(length(text)) AS conv_avg_len
+    FROM transcripts
+    GROUP BY 1, 2
+),
+global AS (
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           avg(length(text)) AS global_avg_len
+    FROM transcripts
+    GROUP BY 1
+)
+SELECT p.window_start AS window_start, p.conv_id AS conv_id,
+       p.n_turns AS n_turns,
+       p.conv_avg_len AS conv_avg_len,
+       g.global_avg_len AS global_avg_len
+FROM per_conv p
+JOIN global g ON g.window_start = p.window_start
+WHERE p.conv_avg_len > g.global_avg_len
+""")
+
+
+@register("sg2_local_vs_global_avg", _SG2_ORACLE)
+def sg2_local_vs_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregation granularities over one window joined: conversations
+    whose average turn length exceeds the global window average. The
+    global side is a per-window scalar — broadcast to the per-conv side,
+    so the comparison costs no extra shuffle of the large side."""
+    t = transcripts(spark, sf_dir).select(
+        "conv_id", "ts", F.length("text").alias("text_len"))
+    w1h = (F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+           .cast("long") * 3600)
+    per_conv = t.groupBy(w1h.alias("window_start"), F.col("conv_id")).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.avg("text_len").alias("conv_avg_len"),
+    )
+    global_ = t.groupBy(w1h.alias("g_window")).agg(
+        F.avg("text_len").alias("global_avg_len"))
+    return (
+        per_conv.join(F.broadcast(global_),
+                      per_conv.window_start == global_.g_window)
+        .where(F.col("conv_avg_len") > F.col("global_avg_len"))
+        .select("window_start", "conv_id", "n_turns",
+                "conv_avg_len", "global_avg_len")
+    )
