@@ -27,7 +27,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise KeyError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # oracle parity requires UTC session time — enforce even when
+            # the caller built its own SparkSession with a different TZ
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         else:
