@@ -7,7 +7,7 @@ Scale design (the point of each):
   group. At 100 TB this is the cheapest possible full dedup (single
   shuffle, map-side partial aggregation of the min).
 - **jaccard_pairs** — inverted-index self-join on shingles: explode
-  distinct shingles, join on shingle, count共 per pair. Never a cross
+  distinct shingles, join on shingle, count common shingles per pair. Never a cross
   join; cost ∝ Σ posting-list², controlled by dropping ultra-frequent
   shingles (stop_df) exactly like a search engine drops stopwords.
 - **minhash_lsh_pairs** — k independent MinHashes (min of md5(seed:s)

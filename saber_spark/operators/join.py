@@ -130,11 +130,19 @@ def salted_equi_join(
     turns — the Zipf head of the north_star workload) is thereby spread
     over n_salt shuffle partitions instead of one straggler task.
 
-    Result rows are identical to the unsalted join (verified against the
-    same oracle in plans/saber_queries.py). Use when AQE's skew-join
-    splitting isn't available or the skew is known up front; cost is
-    n_salt× replication of the (smaller) right side.
+    Result rows are identical to the unsalted join for inner/left/semi
+    (verified against the same oracle in plans/saber_queries.py); right
+    and full outer would emit unmatched right rows once per salt, so
+    those modes are rejected. Use when AQE's skew-join splitting isn't
+    available or the skew is known up front; cost is n_salt× replication
+    of the (smaller) right side. For replication restricted to hot keys
+    only, see ``hot_key_salted_join``.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            f"salted_equi_join supports inner/left/left_semi only (got {how!r}): "
+            "unmatched right rows would be duplicated n_salt times"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
     l_s = left.withColumn("_salt", salt)
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

@@ -49,23 +49,33 @@ from pyspark.sql import functions as F
 from saber_spark.operators.aggregation import AggSpec
 from saber_spark.operators.windows import RANGE, ROW, WindowDef
 
-#: partial statistics required per aggregate function
-_NEEDS = {
-    "cnt": ("cnt",),
-    "sum": ("sum",),
-    "avg": ("sum", "cnt"),
-    "min": ("min",),
-    "max": ("max",),
-}
+#: partial statistics required per aggregate function. ``cntc`` is the
+#: per-column NON-NULL count — F.avg / F.count(col) skip nulls, so cnt
+#: of rows cannot stand in for the avg denominator or cnt(col) when the
+#: aggregated column is nullable.
+def _needs(fn: str, col) -> tuple[str, ...]:
+    if fn == "cnt":
+        return ("cnt",) if (isinstance(col, str) and col == "*") else ("cntc",)
+    if fn == "sum":
+        return ("sum", "cntc")  # cntc restores null for all-null windows
+    if fn == "avg":
+        return ("sum", "cntc")
+    return (fn,)  # min / max
+
 
 _PARTIAL_FN = {
     "cnt": lambda c: F.count(F.lit(1)),
+    "cntc": F.count,
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
 }
 
-_MERGE_FN = {"cnt": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+_MERGE_FN = {"cnt": F.sum, "cntc": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _src_name(a: AggSpec) -> str:
+    return a.col if isinstance(a.col, str) else a.alias
 
 
 def _partial_cols(aggs: Sequence[AggSpec]) -> dict[str, tuple[str, str | object]]:
@@ -73,20 +83,22 @@ def _partial_cols(aggs: Sequence[AggSpec]) -> dict[str, tuple[str, str | object]
     # _cnt is always computed: it decides which windows are non-empty
     out: dict[str, tuple[str, object]] = {"_cnt": ("cnt", "*")}
     for a in aggs:
-        for stat in _NEEDS[a.fn]:
+        for stat in _needs(a.fn, a.col):
             if stat == "cnt":
                 continue
-            key = f"_{stat}_{a.col if isinstance(a.col, str) else a.alias}"
-            out.setdefault(key, (stat, a.col))
+            out.setdefault(f"_{stat}_{_src_name(a)}", (stat, a.col))
     return out
 
 
 def _final_col(a: AggSpec) -> F.Column:
-    src = a.col if isinstance(a.col, str) else a.alias
+    src = _src_name(a)
     if a.fn == "cnt":
-        return F.col("_cnt").alias(a.alias)
+        if isinstance(a.col, str) and a.col == "*":
+            return F.col("_cnt").alias(a.alias)
+        return F.col(f"_cntc_{src}").alias(a.alias)
     if a.fn == "avg":
-        return (F.col(f"_sum_{src}") / F.col("_cnt")).alias(a.alias)
+        # null sum / zero cntc for an all-null window → null, like F.avg
+        return (F.col(f"_sum_{src}") / F.col(f"_cntc_{src}")).alias(a.alias)
     return F.col(f"_{a.fn}_{src}").alias(a.alias)
 
 
@@ -192,19 +204,18 @@ def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
     schema_fields = [T.StructField("_w", T.LongType())]
     for k in part_keys:
         schema_fields.append(T.StructField(k, partials.schema[k].dataType))
-    out_numeric: dict[str, str] = {}
     for a in aggs:
         if a.fn == "cnt":
             t = T.LongType()
         elif a.fn == "avg":
             t = T.DoubleType()
         else:
-            src = f"_{a.fn}_{a.col if isinstance(a.col, str) else a.alias}"
+            src = f"_{a.fn}_{_src_name(a)}"
             t = partials.schema[src].dataType
         schema_fields.append(T.StructField(a.alias, t))
     out_schema = T.StructType(schema_fields)
 
-    agg_specs = [(a.alias, a.fn, a.col if isinstance(a.col, str) else a.alias) for a in aggs]
+    agg_specs = [(a.alias, a.fn, _src_name(a)) for a in aggs]
     part_names = list(pcols.keys())
     int_aliases = {
         f.name
@@ -223,9 +234,11 @@ def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
         dense: dict[str, np.ndarray] = {}
         for name in part_names:
             stat = stat_of[name]
-            if stat in ("cnt", "sum"):
+            if stat in ("cnt", "cntc", "sum"):
                 arr = np.zeros(size, dtype=np.float64)
-                arr[idx] = pdf[name].to_numpy(dtype=np.float64)
+                # null sum partial (all-null pane) contributes 0 to the
+                # cumsum; the cntc mask restores null at window level
+                arr[idx] = np.nan_to_num(pdf[name].to_numpy(dtype=np.float64))
             else:
                 arr = np.full(size, np.nan)
                 arr[idx] = pdf[name].to_numpy(dtype=np.float64)
@@ -244,11 +257,12 @@ def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
         for name in part_names:
             stat = stat_of[name]
             arr = dense[name]
-            if stat in ("cnt", "sum"):
+            if stat in ("cnt", "cntc", "sum"):
                 cs = np.concatenate(([0.0], np.cumsum(arr)))
                 lo = np.clip(starts, 0, None)
                 vals = cs[ends + 1] - cs[lo]
             elif stat == "min":
+                # rolling skips NaN (min_periods=1): all-null window → NaN
                 vals = pd.Series(arr).rolling(np_win, min_periods=1).min().to_numpy()
             else:
                 vals = pd.Series(arr).rolling(np_win, min_periods=1).max().to_numpy()
@@ -257,21 +271,34 @@ def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
                 win_cnt = vals
 
         keep = aligned & (win_cnt > 0)
+
+        def masked(vals: np.ndarray, mask: np.ndarray | None, alias: str):
+            """Window values → column, null where mask is False / val NaN."""
+            s = pd.Series(vals)
+            if mask is not None:
+                s = s.where(mask)
+            # nullable dtypes so NaN → true null through Arrow (F.avg of an
+            # all-null window is NULL, never NaN)
+            return s.astype("Int64" if alias in int_aliases else "Float64")
+
         res = {"_w": starts[keep] + base}
         for k in part_keys:
             res[k] = np.repeat(pdf[k].iloc[0], keep.sum())
         for alias, fn, src in agg_specs:
-            if fn == "cnt":
+            if fn == "cnt" and src == "*":
                 res[alias] = out["_cnt"][keep].astype(np.int64)
+            elif fn == "cnt":
+                res[alias] = out[f"_cntc_{src}"][keep].astype(np.int64)
             elif fn == "avg":
-                res[alias] = out[f"_sum_{src}"][keep] / out["_cnt"][keep]
+                cntc = out[f"_cntc_{src}"][keep]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    vals = out[f"_sum_{src}"][keep] / cntc
+                res[alias] = masked(vals, cntc > 0, alias)
             elif fn == "sum":
-                res[alias] = out[f"_sum_{src}"][keep]
+                cntc = out[f"_cntc_{src}"][keep]
+                res[alias] = masked(out[f"_sum_{src}"][keep], cntc > 0, alias)
             else:
-                res[alias] = out[f"_{fn}_{src}"][keep]
-            if alias in int_aliases:
-                # exact: integer-valued float64 (< 2^53) back to int64
-                res[alias] = np.asarray(res[alias]).astype(np.int64)
+                res[alias] = masked(out[f"_{fn}_{src}"][keep], None, alias)
         return pd.DataFrame(res)
 
     if part_keys:

@@ -31,7 +31,8 @@ def cmp(col: str | Column, op: str, value) -> Column:
     if op not in _OPS:
         raise KeyError(f"unknown comparison {op!r}; known: {sorted(_OPS)}")
     c = F.col(col) if isinstance(col, str) else col
-    v = F.col(value.name) if isinstance(value, Column) else F.lit(value)
+    # a Column value is the reference's 2-stream predicate form — use it as-is
+    v = value if isinstance(value, Column) else F.lit(value)
     return _OPS[op](c, v)
 
 

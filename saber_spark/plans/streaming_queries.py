@@ -30,12 +30,34 @@ from saber_spark.streaming.stateful import streaming_count_windows
 _TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the events source (path+size+mtime of every
+    file) — invalidates staged chunks when the sf dataset is regenerated
+    in place or two sf_dirs share a basename."""
+    import hashlib
+
+    root = os.path.join(os.path.realpath(sf_dir), "events.parquet")
+    parts = [root]
+    if os.path.isdir(root):
+        for d, _, files in sorted(os.walk(root)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(d, fn))
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def _stage_chunks(spark: SparkSession, sf_dir: str, tag: str, n_files: int = 4) -> str:
     """Write transcripts as chronological chunk files for the file source."""
-    path = os.path.join(_TMP, "driver_stream", tag + "_" + os.path.basename(sf_dir.rstrip("/")))
+    fp = _source_fingerprint(sf_dir)
+    path = os.path.join(_TMP, "driver_stream", f"{tag}_{fp[:12]}")
     marker = os.path.join(path, "_STAGED")
     if os.path.exists(marker):
-        return path
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return path
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     t = transcripts(spark, sf_dir).withColumn("text_len", F.length("text").cast("long"))
@@ -50,7 +72,8 @@ def _stage_chunks(spark: SparkSession, sf_dir: str, tag: str, n_files: int = 4) 
         t.where(cond).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, f"chunk={k:03d}")
         )
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(fp)
     return path
 
 

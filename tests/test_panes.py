@@ -79,6 +79,45 @@ def test_row_pane_parity(spark, method, wd):
     _cmp(oracle, pane)
 
 
+@pytest.mark.parametrize("method", ["fanout", "incremental"])
+def test_pane_parity_with_nulls(spark, method):
+    """AVG/CNT(col)/SUM skip nulls (F.avg semantics): the pane layer must
+    track a per-column non-null count, not the row count, or avg/cnt(col)
+    silently diverge on nullable columns. Includes an all-null window."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        # val null for every 3rd row; rows 80..119 (a whole 600 s window
+        # at 15 s spacing) entirely null
+        null = (i % 3 == 0) or (80 <= i < 120)
+        rows.append(
+            ("k" + str(i % 2), base + dt.timedelta(seconds=15 * i),
+             None if null else i * 7 % 101)
+        )
+    df = spark.createDataFrame(rows, "tool string, ts timestamp, v long")
+    aggs = [
+        AggSpec("cnt", "*", "n_rows"),
+        AggSpec("cnt", "v", "n_vals"),
+        AggSpec("sum", "v", "s"),
+        AggSpec("avg", "v", "a"),
+        AggSpec("min", "v", "mn"),
+        AggSpec("max", "v", "mx"),
+    ]
+    wd = WindowDef(RANGE, 600, 150)
+    oracle = windowed_aggregate(df, wd, aggs, keys=["tool"])
+    pane = pane_windowed_aggregate(df, wd, aggs, keys=["tool"], method=method)
+    a = oracle.toPandas().sort_values(["window_start", "tool"]).reset_index(drop=True)
+    b = pane.toPandas().sort_values(["window_start", "tool"]).reset_index(drop=True)
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].astype("object"), b[cols].astype("object"), check_dtype=False
+    )
+    # the all-null stretch must produce rows with n_vals=0 and null avg
+    assert (a["n_vals"] == 0).any()
+
+
 def test_pane_math():
     wd = WindowDef(RANGE, 3600, 300)
     assert wd.pane_size == 300
