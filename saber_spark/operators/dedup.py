@@ -93,11 +93,12 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
+def minhash_signatures_wide(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, k: int = 16,
 ) -> DataFrame:
-    """k MinHashes per doc: min over shingles of md5('<seed>:'||shingle).
+    """(_id, _m0.._m{k-1}): k MinHashes per doc — min over shingles of
+    md5('<seed>:'||shingle).
 
     md5 hex strings order identically in every engine — no integer
     conversion, fully portable to the SQL oracle.
@@ -106,12 +107,20 @@ def minhash_signatures(
     # k min-aggregates in ONE groupBy over the shingle postings — not a
     # k-way seed explode: same values, k× less shuffle volume, and the
     # md5 calls stay in a single codegen'd projection
-    wide = posts.groupBy("_id").agg(
+    return posts.groupBy("_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"_m{j}")
             for j in range(k)
         ]
     )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, k: int = 16,
+) -> DataFrame:
+    """Exploded (_id, _seed, _minhash) view of the k signatures."""
+    wide = minhash_signatures_wide(df, id_col, text_col, n, k)
     return wide.select(
         "_id",
         F.explode(
@@ -127,6 +136,59 @@ def minhash_signatures(
     ).select("_id", F.col("_x._seed").alias("_seed"), F.col("_x._minhash").alias("_minhash"))
 
 
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: share at least one full band of
+    ``rows_per_band`` consecutive minhashes (b = k/r bands).
+
+    The banding S-curve P(candidate | J) = 1-(1-J^r)^b is the
+    precision/recall knob: r=1 catches everything sharing ANY minhash
+    (recall ≈1 even at low J — floods the verifier on small-vocabulary
+    corpora); r=2, b=8 keeps recall >0.9998 for J ≥ 0.8 while pruning
+    low-J pairs aggressively. Join key is (band_id, band_key) — a plain
+    hash-partitioned equi-join, never all-pairs.
+    """
+    if k % rows_per_band != 0:
+        raise ValueError(f"rows_per_band {rows_per_band} must divide k {k}")
+    wide = minhash_signatures_wide(df, id_col, text_col, n, k)
+    n_bands = k // rows_per_band
+    bands = wide.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("_band"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"_m{b * rows_per_band + i}")
+                              for i in range(rows_per_band)],
+                        ).alias("_bk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_x"),
+    ).select("_id", F.col("_x._band").alias("_band"), F.col("_x._bk").alias("_bk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bk") == F.col("b._bk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -134,27 +196,58 @@ def minhash_lsh_pairs(
     n: int = 3,
     k: int = 16,
     threshold: float = 0.5,
+    rows_per_band: int = 2,
 ) -> DataFrame:
-    """Candidate pairs share >= 1 of k minhashes (LSH buckets keyed on
-    (seed, minhash)); candidates are then verified with exact Jaccard.
-    Returns (id_a, id_b, jaccard >= threshold)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a._seed") == F.col("b._seed"))
-            & (F.col("a._minhash") == F.col("b._minhash"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    """MinHash-LSH near-dup pairs: banded candidates, then exact-Jaccard
+    verification computed over the CANDIDATE DOCS ONLY. Returns
+    (id_a, id_b, jaccard >= threshold).
+
+    Scale shape: the shingle postings are semi-joined down to ids that
+    appear in at least one candidate pair before the posting self-join —
+    the expensive Σ posting-list² verification cost is paid only for the
+    (small) candidate subset, which is the entire point of LSH. The
+    final semi join to the candidate set drops co-shingling
+    non-candidate pairs, keeping the output exactly "LSH candidates
+    verified" (tests/test_pipeline_ops.py measures the pruning).
+
+    Recall note: banding is probabilistic (see minhash_lsh_candidates).
+    The DuckDB oracle assumes recall 1 vs all-pairs Jaccard at the
+    given threshold; deterministic md5 minhashes make the check
+    reproducible, and the assumption is validated per-corpus by the
+    recall test (r=2, k=16 recovers every J ≥ 0.5 pair on the
+    benchmark corpus).
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, rows_per_band)
+    posts = _shingle_posts(df, id_col, text_col, n)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_id"))
+        .unionByName(cands.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    exact = jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # postings restricted to candidate docs; a doc keeps ALL its shingles,
+    # so per-doc sizes (the Jaccard denominator) are unchanged
+    posts_c = posts.join(cand_ids, "_id", "left_semi")
+    sizes = posts_c.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    pa, pb = posts_c.alias("a"), posts_c.alias("b")
+    common = (
+        pa.join(pb, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .join(cands, ["id_a", "id_b"], "left_semi")
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     return (
-        cands.join(exact, ["id_a", "id_b"])
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c")), 6).alias(
+                "jaccard"
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -99,9 +99,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
-# MinHash-LSH: candidates share >=1 of 16 md5 minhashes; banding with r=1
-# gives recall 1-(1-J)^16 (≈1 above the 0.5 threshold), so the verified
-# output equals the exact-Jaccard pair set — which is the oracle.
+# MinHash-LSH: banded candidates (k=16 md5 minhashes, r=2 rows/band → 8
+# bands; P(candidate)=1-(1-J²)^8, ≈1 above the 0.5 threshold on this
+# corpus — validated by tests/test_pipeline_ops.py), exact-Jaccard
+# verification restricted to candidate docs. The verified output equals
+# the exact-Jaccard pair set — which is the oracle.
 _MINHASH_ORACLE = f"""
 WITH {_W}, {_SHINGLES}, {_POSTS}, {_JACCARD_PAIRS}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5

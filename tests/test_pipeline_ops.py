@@ -23,14 +23,41 @@ def embs(spark):
 
 
 def test_minhash_lsh_recall_is_total(spark, docs):
-    """k=16 r=1 banding must recover every pair with J >= 0.5 here
-    (recall 1-(1-J)^16; validated exactly on this corpus)."""
+    """k=16 r=2 banding must recover every pair with J >= 0.5 here
+    (P(candidate)=1-(1-J²)^8; validated exactly on this corpus — the
+    oracle's recall-1 assumption)."""
     exact = {
         (r.id_a, r.id_b)
         for r in dd.jaccard_pairs(docs, threshold=0.5).collect()
     }
     lsh = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(docs, k=16, threshold=0.5).collect()}
     assert lsh == exact and len(exact) > 0
+
+
+def test_minhash_lsh_verification_is_pruned(spark, docs):
+    """The exact-Jaccard verification must run over candidate docs only —
+    the posting self-join volume collapses from Σ(all posting lists)² to
+    Σ(candidate posting lists)². On this corpus (500 docs, ~25 near-dup
+    pairs) candidates are a small fraction of the corpus, so the postings
+    that reach the verify join must shrink accordingly."""
+    cands = dd.minhash_lsh_candidates(docs, k=16, rows_per_band=2)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_id"))
+        .unionByName(cands.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    n_docs = docs.count()
+    n_cand_docs = cand_ids.count()
+    assert 0 < n_cand_docs < n_docs * 0.5, (
+        f"{n_cand_docs}/{n_docs} docs are LSH candidates — pruning is real"
+    )
+    posts_all = dd._shingle_posts(docs, "doc_id", "text", 3).count()
+    posts_cand = (
+        dd._shingle_posts(docs, "doc_id", "text", 3)
+        .join(cand_ids, "_id", "left_semi")
+        .count()
+    )
+    assert posts_cand < posts_all * 0.5
 
 
 def test_simhash_separates_near_dups_from_random(spark, docs):
