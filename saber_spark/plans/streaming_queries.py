@@ -152,6 +152,56 @@ def row_window_streamed_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete(spark, out, "row_window_streamed")
 
 
+# CM1 on the STREAMING pane path: the subtract-on-evict pane operator over
+# a real watermarked stream. With a 0 s watermark delay the final watermark
+# is the max event time of the (tool <> '') stream, so the emitted set is
+# exactly the windows whose end <= that watermark — which the oracle
+# reproduces with a scalar subquery over the same filtered input.
+_CM1_STREAMED_ORACLE = with_transcripts_oracle("""
+, wm AS (SELECT max(epoch(ts)) AS w FROM transcripts WHERE tool <> ''),
+cm AS (
+    SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - r.k) * 300        AS window_start,
+           (CAST(floor(epoch(ts) / 300) AS BIGINT) - r.k) * 300 + 3600 AS window_end,
+           tool,
+           count(*)                                                     AS n_turns,
+           avg(length(text))                                            AS avg_len,
+           CAST(max(length(text)) AS BIGINT)                            AS max_len
+    FROM transcripts, range(0, 12) AS r(k)
+    WHERE tool <> ''
+    GROUP BY 1, 2, 3
+)
+SELECT * FROM cm WHERE window_end <= (SELECT w FROM wm)
+""")
+
+
+@register("cm1_grouped_sliding_agg_streamed", _CM1_STREAMED_ORACLE)
+def cm1_grouped_sliding_agg_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM1 (1 h window / 5 min slide, grouped by tool) executed on the
+    streaming pane path: pane partials merged in applyInPandasWithState
+    keyed state, windows emitted once when the watermark passes their
+    end, panes evicted after their last window emits
+    (streaming/panes.py — the north-star operator, driver-checked
+    against the same window values as the batch pane layer)."""
+    from saber_spark.operators.windows import WindowDef as _WD
+    from saber_spark.streaming.panes import streaming_pane_sliding_aggregate
+
+    path = _stage_chunks(spark, sf_dir, "cm1p")
+    stream = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    ).where(F.col("tool") != "")
+    agg = streaming_pane_sliding_aggregate(
+        stream, _WD(RANGE, 3600, 300), value_col="text_len", keys=("tool",),
+        watermark="0 seconds",
+    )
+    out = agg.select(
+        "window_start", "window_end", "tool",
+        F.col("n_rows").alias("n_turns"),
+        F.col("avg_val").alias("avg_len"),
+        F.col("max_val").alias("max_len"),
+    )
+    return _run_complete(spark, out, "cm1_pane_streamed")
+
+
 # Sessions whose end (last ts + gap) is at or below the final watermark are
 # flushed by the no-data micro-batch; the oracle reproduces exactly that
 # subset with a scalar-subquery watermark (max ts - delay over the whole

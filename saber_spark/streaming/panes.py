@@ -1,0 +1,230 @@
+"""Streaming pane-based sliding-window aggregation — the north-star
+operator: Saber's slide-decomposition + subtract-on-evict running
+aggregate, on an unbounded watermarked stream.
+
+Reference semantics re-expressed (``WindowBatch.java:352-643``,
+``Aggregation.java:607-653``, ``PartialResultSlot.java:105-300``):
+
+- each micro-batch's rows are collapsed to **pane partials** (pane =
+  ``gcd(size, slide)`` grid) with vectorized pandas ops — the analogue
+  of the reference computing closing/pending/opening fragments per task;
+- partials merge into **keyed state** (one pane ring per group key, the
+  reference's intermediate result slots). State is typed array columns,
+  not an opaque blob, so the state store tracks real sizes;
+- a window emits exactly once, when the **event-time watermark** passes
+  its end: window values come from a cumsum difference / rolling
+  extremum over the pane grid (the add/subtract running aggregate and
+  two-stacks min-max of ``Aggregation.java:1042-1168``) — never a
+  re-scan of rows;
+- panes are **evicted** once the last window containing them has
+  emitted (the reference frees result slots the same way,
+  ``ResultAggregator.java:211-216``), so state per key is bounded by
+  ``size/pane + watermark-lag`` panes regardless of stream length;
+- an **event-time timeout** set to the next pending window end makes a
+  group emit/flush even when it receives no further rows — a silent
+  conversation cannot hold its windows hostage.
+
+Unlike Spark's built-in sliding ``window()`` (which replicates every
+*row* into size/slide windows before the streaming agg), state and
+shuffle here scale with #panes × #keys.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from saber_spark.operators.windows import RANGE, WindowDef
+
+
+def streaming_pane_sliding_aggregate(
+    stream: DataFrame,
+    wd: WindowDef,
+    value_col: str = "text_len",
+    keys: Sequence[str] = ("tool",),
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Sliding RANGE-window CNT/SUM/MIN/MAX/AVG per key on a stream.
+
+    Emits one row per (key, window) with columns
+    (window_start, window_end, *keys, n_rows, sum_val, min_val,
+    max_val, avg_val) — epoch-second window bounds identical to the
+    batch pane layer and to ``F.window``. ``value_col`` must be
+    non-null (the row count doubles as the value count).
+
+    A window [w, w+size) is emitted in the first micro-batch whose
+    watermark reaches ``w+size`` (watermark = max event time −
+    ``watermark`` delay); rows later than the watermark are dropped
+    upstream by ``withWatermark``, which is exactly what makes the
+    emit-once decision safe.
+    """
+    if wd.kind != RANGE:
+        raise ValueError("streaming panes are event-time; ROW windows use "
+                         "streaming_count_windows")
+    pane = wd.pane_size
+    size = wd.size
+    np_win = wd.num_panes
+    stride = wd.panes_per_slide
+    keys = list(keys)
+
+    src = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    # the watermark-tagged ts column must flow INTO the stateful operator
+    # (EventTimeTimeout requires it); the epoch is derived in the fn
+    src = src.withWatermark(ts_col, watermark).select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+
+    key_fields = [T.StructField(k, src.schema[k].dataType) for k in keys]
+    out_schema = T.StructType(
+        [
+            T.StructField("window_start", T.LongType()),
+            T.StructField("window_end", T.LongType()),
+            *key_fields,
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_val", T.LongType()),
+            T.StructField("min_val", T.LongType()),
+            T.StructField("max_val", T.LongType()),
+            T.StructField("avg_val", T.DoubleType()),
+        ]
+    )
+    # typed pane-partial ring + high-water mark of emitted window ends
+    state_schema = T.StructType(
+        [
+            T.StructField("panes", T.ArrayType(T.LongType())),
+            T.StructField("cnts", T.ArrayType(T.LongType())),
+            T.StructField("sums", T.ArrayType(T.LongType())),
+            T.StructField("mins", T.ArrayType(T.LongType())),
+            T.StructField("maxs", T.ArrayType(T.LongType())),
+            T.StructField("emitted_ms", T.LongType()),
+        ]
+    )
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            panes, cnts, sums, mins, maxs, emitted_ms = state.get
+            pend = pd.DataFrame(
+                {"p": panes, "c": cnts, "s": sums, "mn": mins, "mx": maxs}
+            )
+        else:
+            pend = pd.DataFrame(columns=["p", "c", "s", "mn", "mx"], dtype="int64")
+            emitted_ms = 0
+
+        fresh = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ns = pdf["_ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            pid = pd.Series(ns // (pane * 1_000_000_000), index=pdf.index)
+            g = pdf.groupby(pid)["_v"].agg(["count", "sum", "min", "max"])
+            fresh.append(
+                pd.DataFrame(
+                    {
+                        "p": g.index.to_numpy(dtype="int64"),
+                        "c": g["count"].to_numpy(dtype="int64"),
+                        "s": g["sum"].to_numpy(dtype="int64"),
+                        "mn": g["min"].to_numpy(dtype="int64"),
+                        "mx": g["max"].to_numpy(dtype="int64"),
+                    }
+                )
+            )
+        if fresh:
+            pend = (
+                pd.concat([pend, *fresh], ignore_index=True)
+                .groupby("p", as_index=False)
+                .agg(c=("c", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+            )
+
+        wm_ms = int(state.getCurrentWatermarkMs())
+
+        out = None
+        if not pend.empty:
+            pend = pend.sort_values("p").reset_index(drop=True)
+            p_arr = pend["p"].to_numpy(dtype="int64")
+            base = int(p_arr[0])
+            grid = int(p_arr[-1]) - base + 1 + (np_win - 1)
+            idx = p_arr - base
+            dense_c = np.zeros(grid, dtype=np.int64)
+            dense_s = np.zeros(grid, dtype=np.int64)
+            dense_mn = np.full(grid, np.nan)
+            dense_mx = np.full(grid, np.nan)
+            dense_c[idx] = pend["c"].to_numpy()
+            dense_s[idx] = pend["s"].to_numpy()
+            dense_mn[idx] = pend["mn"].to_numpy(dtype=np.float64)
+            dense_mx[idx] = pend["mx"].to_numpy(dtype=np.float64)
+
+            ends = np.arange(grid)
+            starts = ends - np_win + 1
+            cs_c = np.concatenate(([0], np.cumsum(dense_c)))
+            cs_s = np.concatenate(([0], np.cumsum(dense_s)))
+            lo = np.clip(starts, 0, None)
+            w_c = cs_c[ends + 1] - cs_c[lo]
+            w_s = cs_s[ends + 1] - cs_s[lo]
+            w_mn = pd.Series(dense_mn).rolling(np_win, min_periods=1).min().to_numpy()
+            w_mx = pd.Series(dense_mx).rolling(np_win, min_periods=1).max().to_numpy()
+
+            abs_start_s = (starts + base) * pane
+            abs_end_s = abs_start_s + size
+            aligned = (starts + base) % stride == 0
+            # emit-once: ends the watermark just passed, not yet emitted
+            emit = (
+                aligned
+                & (w_c > 0)
+                & (abs_end_s * 1000 <= wm_ms)
+                & (abs_end_s * 1000 > emitted_ms)
+            )
+            if emit.any():
+                n = int(emit.sum())
+                data = {
+                    "window_start": abs_start_s[emit],
+                    "window_end": abs_end_s[emit],
+                }
+                for i, k in enumerate(keys):
+                    data[k] = np.repeat(key[i], n)
+                data["n_rows"] = w_c[emit]
+                data["sum_val"] = w_s[emit]
+                data["min_val"] = w_mn[emit].astype(np.int64)
+                data["max_val"] = w_mx[emit].astype(np.int64)
+                data["avg_val"] = w_s[emit] / w_c[emit]
+                out = pd.DataFrame(data)
+
+            # evict panes whose LAST containing window has emitted: that
+            # window starts at the greatest slide multiple <= pane start
+            last_start_s = (p_arr * pane) // wd.slide * wd.slide
+            keep = (last_start_s + size) * 1000 > wm_ms
+            pend = pend[keep]
+
+        if pend.empty:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    pend["p"].tolist(),
+                    pend["c"].tolist(),
+                    pend["s"].tolist(),
+                    pend["mn"].tolist(),
+                    pend["mx"].tolist(),
+                    max(int(emitted_ms), wm_ms),
+                )
+            )
+            # wake this key when the watermark passes the next slide-grid
+            # window end, even if it never receives another row
+            # (flush-on-silence): ends are m*slide + size, so the next one
+            # after the watermark is a pure grid computation
+            e_s = ((wm_ms - size * 1000) // (wd.slide * 1000) + 1) * wd.slide + size
+            state.setTimeoutTimestamp(max(e_s * 1000 - 1, wm_ms + 1))
+        if out is not None:
+            yield out
+
+    return src.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "EventTimeTimeout"
+    )

@@ -221,6 +221,49 @@ def test_streaming_count_windows(spark, stream_dir):
         q.stop()
 
 
+def test_streaming_pane_sliding_parity(spark, stream_dir):
+    """The streaming pane operator (applyInPandasWithState subtract-on-
+    evict) must emit exactly the windows the batch pane layer produces,
+    restricted to window_end <= final watermark — and its state must stay
+    bounded (panes evicted once their last window emits)."""
+    from saber_spark.operators.panes import pane_windowed_aggregate
+    from saber_spark.streaming.panes import streaming_pane_sliding_aggregate
+
+    shutil.rmtree(os.path.join(TMP, "ckpt_spane"), ignore_errors=True)
+    wd = WindowDef(RANGE, 3600, 600)
+    stream = _read_stream(spark, stream_dir, max_files_per_trigger=1)
+    out = streaming_pane_sliding_aggregate(
+        stream, wd, value_col="text_len", keys=("role",), watermark="0 seconds"
+    )
+    q = _run_to_memory(out, "spane", "append")
+    try:
+        wm = q.lastProgress["eventTime"]["watermark"]
+        wm_epoch = pd.Timestamp(wm).timestamp()
+        got = _norm(spark.sql(
+            "SELECT window_start, window_end, role, n_rows, sum_val, min_val,"
+            " max_val, avg_val FROM spane").toPandas())
+        batch = transcripts(spark, SF_SMOKE).select(
+            "role", "ts", F.length("text").cast("long").alias("text_len"))
+        full = pane_windowed_aggregate(
+            batch, wd,
+            [AggSpec("cnt", "*", "n_rows"), AggSpec("sum", "text_len", "sum_val"),
+             AggSpec("min", "text_len", "min_val"), AggSpec("max", "text_len", "max_val"),
+             AggSpec("avg", "text_len", "avg_val")],
+            keys=["role"], method="incremental",
+        ).toPandas()
+        want = _norm(full[full.window_end <= wm_epoch])
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # bounded state: pending panes per key <= panes/window + wm lag
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        n_keys = 3  # roles
+        assert state_rows <= n_keys * (wd.num_panes + 4), (
+            f"state holds {state_rows} rows — pane eviction is not bounding it"
+        )
+    finally:
+        q.stop()
+
+
 def test_stream_stream_join_parity(spark, stream_dir):
     """Watermarked stream-stream join == batch join (chronological input,
     interval-bounded state)."""
