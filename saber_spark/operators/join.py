@@ -41,8 +41,14 @@ def windowed_theta_join(
     right_ts: str = "ts",
     theta: Column | None = None,
     how: str = "inner",
+    row_bound: int | None = None,
+    left_idx: str = "turn_idx",
+    right_idx: str = "turn_idx",
 ) -> DataFrame:
-    """Equi-join on keys, bounded to |l.ts - r.ts| <= time_bound_s, plus an
+    """Equi-join on keys, bounded to |l.ts - r.ts| <= time_bound_s (the
+    reference's RANGE-window eviction) and/or |l.idx - r.idx| <=
+    row_bound (its ROW-window eviction, ``ThetaJoin.java:171-196`` — a
+    tuple joins only the opposite stream's last N tuples), plus an
     arbitrary theta predicate. Columns of both sides must be pre-aliased
     to distinct names (reference merges tuple schemas the same way —
     ``ExpressionsUtil.mergeTupleSchemas``)."""
@@ -59,6 +65,9 @@ def windowed_theta_join(
             <= F.lit(float(time_bound_s))
         )
         cond = bound if cond is None else cond & bound
+    if row_bound is not None:
+        rb = F.abs(left[left_idx] - right[right_idx]) <= F.lit(row_bound)
+        cond = rb if cond is None else cond & rb
     if theta is not None:
         cond = theta if cond is None else cond & theta
     return left.join(right, cond, how)

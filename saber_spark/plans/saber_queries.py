@@ -285,6 +285,45 @@ def theta_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "a_turn", "b_turn", "a_len", "b_len")
 
 
+_THETA_ROW_ORACLE = with_transcripts_oracle("""
+SELECT a.conv_id      AS conv_id,
+       a.turn_idx     AS a_turn,
+       b.turn_idx     AS b_turn,
+       length(a.text) AS a_len,
+       length(b.text) AS b_len
+FROM transcripts a
+JOIN transcripts b
+  ON a.conv_id = b.conv_id
+ AND abs(a.turn_idx - b.turn_idx) <= 8
+ AND length(a.text) > length(b.text)
+WHERE a.role = 'assistant' AND b.role = 'tool'
+""")
+
+
+@register("theta_join_row_window", _THETA_ROW_ORACLE)
+def theta_join_row_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ThetaJoin with ROW-window eviction: each assistant turn joins only
+    tool turns within 8 turns of it in the same conversation — the
+    reference's count-based join window (ThetaJoin.java:171-196,
+    WindowDefinition ROW_BASED) as a turn-distance join bound. Same
+    single-shuffle equi-join shape as the time-bounded variant."""
+    t = transcripts(spark, sf_dir)
+    a = t.where(cmp("role", "=", "assistant")).select(
+        F.col("conv_id"), F.col("turn_idx").alias("a_turn"),
+        F.length("text").alias("a_len"))
+    b = t.where(cmp("role", "=", "tool")).select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("b_turn"),
+        F.length("text").alias("b_len"))
+    joined = windowed_theta_join(
+        a, b.withColumnRenamed("b_conv", "conv_id"),
+        keys=("conv_id",), row_bound=8,
+        left_idx="a_turn", right_idx="b_turn",
+        theta=F.col("a_len") > F.col("b_len"),
+    )
+    return joined.select(a["conv_id"].alias("conv_id"),
+                         "a_turn", "b_turn", "a_len", "b_len")
+
+
 # --------------------------------------------------------------------------
 # As-of join (absent in reference; transcript/tool-event alignment)
 # --------------------------------------------------------------------------

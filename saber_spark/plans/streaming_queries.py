@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from saber_spark.operators.aggregation import AggSpec
 from saber_spark.operators.windows import RANGE, WindowDef
 from saber_spark.plans.registry import register
-from saber_spark.plans.saber_queries import _YSB_ORACLE, transcripts
+from saber_spark.plans.saber_queries import _THETA_ORACLE, _YSB_ORACLE, transcripts
 from saber_spark.sources.transcripts import with_transcripts_oracle
 from saber_spark.streaming.jobs import (
     TRANSCRIPT_SCHEMA,
@@ -150,6 +150,73 @@ def row_window_streamed_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "window_id", "n_turns", "sum_val"
     )
     return _run_complete(spark, out, "row_window_streamed")
+
+
+# Sliding ROW windows on the stream (reference WindowDefinition.java:5-18;
+# figure-11b sweeps row-window slides): window = 16 turns, slide = 4 —
+# completed windows only, so the oracle keeps the full-count windows.
+_COUNTWIN_SLIDE_STREAM_ORACLE = with_transcripts_oracle("""
+SELECT conv_id,
+       CAST(floor(turn_idx / 4) AS BIGINT) - r.k AS window_id,
+       count(*)                                   AS n_turns,
+       CAST(sum(length(text)) AS BIGINT)          AS sum_val,
+       CAST(max(length(text)) AS BIGINT)          AS max_val
+FROM transcripts, range(0, 4) AS r(k)
+WHERE CAST(floor(turn_idx / 4) AS BIGINT) - r.k >= 0
+  AND turn_idx < (CAST(floor(turn_idx / 4) AS BIGINT) - r.k) * 4 + 16
+GROUP BY 1, 2
+HAVING count(*) = 16
+""")
+
+
+@register("row_window_sliding_streamed", _COUNTWIN_SLIDE_STREAM_ORACLE)
+def row_window_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding count windows (16 turns / slide 4) as the stateful pane
+    operator: per-conversation pane partials in typed state, a window
+    emits when its turn count reaches the window size."""
+    path = _stage_chunks(spark, sf_dir, "cws")
+    stream = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    ).select("conv_id", "turn_idx", "text_len")
+    out = streaming_count_windows(stream, size=16, slide=4, value_col="text_len").select(
+        "conv_id", "window_id", "n_turns", "sum_val", "max_val"
+    )
+    return _run_complete(spark, out, "row_window_sliding_streamed_mem")
+
+
+@register("theta_join_streamed", _THETA_ORACLE)
+def theta_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed ThetaJoin executed as a real stream-stream join
+    (QueryApplication.java:63-85 two-stream entry point): both sides are
+    watermarked streams; the interval condition bounds join state — a
+    row is droppable once the other side's watermark passes
+    ts + bound, the reference's per-side window eviction
+    (ThetaJoin.java:171-196) done by the state store. Inner join +
+    chronological micro-batches ⇒ every match is emitted, so the
+    streaming execution is checked against the SAME oracle as the batch
+    plan."""
+    from saber_spark.streaming.jobs import streaming_stream_stream_join
+
+    path = _stage_chunks(spark, sf_dir, "ssj")
+    a = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    ).where(F.col("role") == "assistant").select(
+        F.col("conv_id"), F.col("turn_idx").alias("a_turn"),
+        F.col("text_len").cast("int").alias("a_len"), F.col("ts").alias("a_ts"))
+    b = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    ).where(F.col("role") == "tool").select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("b_turn"),
+        F.col("text_len").cast("int").alias("b_len"), F.col("ts").alias("b_ts"))
+    joined = streaming_stream_stream_join(
+        a, b.withColumnRenamed("b_conv", "conv_id"),
+        key="conv_id", left_ts="a_ts", right_ts="b_ts",
+        time_bound_s=21600, watermark="0 seconds",
+        theta=F.col("a_len") > F.col("b_len"),
+    )
+    out = joined.select(a["conv_id"].alias("conv_id"),
+                        "a_turn", "b_turn", "a_len", "b_len")
+    return _run_complete(spark, out, "theta_streamed")
 
 
 # CM1 on the STREAMING pane path: the subtract-on-evict pane operator over

@@ -1,31 +1,41 @@
 """Custom stateful streaming operator: count-based (ROW_BASED) windows.
 
 Spark has no count-window primitive for streams; the reference's
-ROW_BASED windows (WindowDefinition.java:5-18) are re-expressed as an
+ROW_BASED windows (``WindowDefinition.java:5-18``, tumbling AND sliding —
+figure-11b sweeps row-window slides) are re-expressed as an
 ``applyInPandasWithState`` operator keyed by conv_id:
 
 - every micro-batch's rows for a conversation are pre-aggregated into
-  per-window partials with vectorized pandas ops (window id =
-  ``turn_idx // size`` — dense per-conversation index),
-- partials merge into keyed state (the cross-batch opening/pending
-  window carry of the reference, ResultAggregator.java:76-136),
-- a window emits exactly when its count reaches ``size`` (the stream has
-  passed its end; trailing partial windows stay pending, as in the
-  reference where a window closes only when tuples beyond it arrive).
-
-State is a JSON blob per conversation mapping window_id -> partial
-(cnt/sum/min/max). Arbitrary out-of-order arrival *within* a
-conversation is tolerated because merging is per window id.
+  per-pane partials with vectorized pandas ops (pane id =
+  ``turn_idx // gcd(size, slide)`` — dense per-conversation index);
+- partials merge into typed keyed state (arrays of pane/cnt/sum/min/max
+  — the cross-batch opening/pending window carry of the reference,
+  ``ResultAggregator.java:76-136``);
+- a window [w·slide, w·slide+size) emits exactly when its turn count
+  REACHES ``size`` (every owned turn has arrived — the reference closes
+  a window when tuples beyond it arrive). Emission is transition-based:
+  windows complete after this batch's merge minus those complete before
+  it, so arbitrary within-conversation arrival order needs no extra
+  bookkeeping;
+- panes are evicted once every window containing them has emitted;
+- optionally, an **event-time TTL** expires a conversation that has been
+  silent while the watermark advanced ``ttl_s`` past its last event —
+  freeing its pending partial windows (the reference frees batch
+  buffers deterministically, ``ResultAggregator.java:211-216``; on an
+  unbounded stream, conversations that die mid-window must not leak
+  state forever).
 """
 
 from __future__ import annotations
 
-import json
+import math
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 OUTPUT_SCHEMA = T.StructType(
@@ -40,57 +50,191 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
-STATE_SCHEMA = T.StructType([T.StructField("pending", T.StringType())])
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("panes", T.ArrayType(T.LongType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+        T.StructField("sums", T.ArrayType(T.LongType())),
+        T.StructField("mins", T.ArrayType(T.LongType())),
+        T.StructField("maxs", T.ArrayType(T.LongType())),
+        T.StructField("last_ts_ms", T.LongType()),
+        # all windows below this id are complete+emitted (monotone):
+        # panes owned only by windows below it are safe to evict
+        T.StructField("frontier", T.LongType()),
+    ]
+)
 
 
 def streaming_count_windows(
     stream: DataFrame,
     size: int,
+    slide: int | None = None,
     value_col: str = "text_len",
     key: str = "conv_id",
     idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    ttl_s: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
-    """Tumbling count windows of ``size`` turns per conversation.
+    """Count windows of ``size`` turns sliding by ``slide`` (default:
+    tumbling) per conversation.
 
-    Input stream needs columns (key, idx_col, value_col). Output emits
-    one row per *completed* window with CNT/SUM/MIN/MAX/AVG.
-    """
+    Input stream needs columns (key, idx_col, value_col) and — when
+    ``ttl_s`` is set — ``ts_col`` for the event-time watermark that
+    drives state expiry. Output emits one row per *completed* window
+    with CNT/SUM/MIN/MAX/AVG; ``window_id`` is start/slide (the batch
+    row-window convention)."""
+    slide = size if slide is None else slide
+    if not (0 < slide <= size):
+        raise ValueError(f"need 0 < slide <= size, got {size=} {slide=}")
+    g = math.gcd(size, slide)
+    size_p = size // g  # panes per window
+    stride = slide // g  # panes per slide
+
+    cols = [key, idx_col, value_col]
+    if ttl_s is not None:
+        src = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        src = src.withWatermark(ts_col, watermark).select(
+            *cols, F.col(ts_col).alias("_ts")
+        )
+        timeout = "EventTimeTimeout"
+    else:
+        src = stream.select(*cols)
+        timeout = "NoTimeout"
+
+    def complete_windows(pend: pd.DataFrame) -> pd.DataFrame:
+        """(window_id, n, s, mn, mx) for every complete window."""
+        if pend.empty:
+            return pd.DataFrame(columns=["w", "n", "s", "mn", "mx"])
+        pend = pend.sort_values("p")
+        p_arr = pend["p"].to_numpy(dtype="int64")
+        base = int(p_arr[0])
+        grid = int(p_arr[-1]) - base + 1 + (size_p - 1)
+        idx = p_arr - base
+        dc = np.zeros(grid, dtype=np.int64)
+        ds = np.zeros(grid, dtype=np.int64)
+        dmn = np.full(grid, np.nan)
+        dmx = np.full(grid, np.nan)
+        dc[idx] = pend["c"].to_numpy()
+        ds[idx] = pend["s"].to_numpy()
+        dmn[idx] = pend["mn"].to_numpy(dtype=np.float64)
+        dmx[idx] = pend["mx"].to_numpy(dtype=np.float64)
+        ends = np.arange(grid)
+        starts = ends - size_p + 1
+        cs_c = np.concatenate(([0], np.cumsum(dc)))
+        cs_s = np.concatenate(([0], np.cumsum(ds)))
+        lo = np.clip(starts, 0, None)
+        w_c = cs_c[ends + 1] - cs_c[lo]
+        w_s = cs_s[ends + 1] - cs_s[lo]
+        w_mn = pd.Series(dmn).rolling(size_p, min_periods=1).min().to_numpy()
+        w_mx = pd.Series(dmx).rolling(size_p, min_periods=1).max().to_numpy()
+        ok = ((starts + base) % stride == 0) & (starts + base >= 0) & (w_c == size)
+        return pd.DataFrame(
+            {
+                "w": (starts[ok] + base) // stride,
+                "n": w_c[ok],
+                "s": w_s[ok],
+                "mn": w_mn[ok].astype(np.int64),
+                "mx": w_mx[ok].astype(np.int64),
+            }
+        )
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        pending: dict[str, list] = (
-            json.loads(state.get[0]) if state.exists else {}
-        )
+        timed_out = bool(getattr(state, "hasTimedOut", False))
+        if state.exists:
+            panes, cnts, sums, mins, maxs, last_ts_ms, frontier = state.get
+            pend = pd.DataFrame(
+                {"p": panes, "c": cnts, "s": sums, "mn": mins, "mx": maxs}
+            )
+        else:
+            pend = pd.DataFrame(columns=["p", "c", "s", "mn", "mx"], dtype="int64")
+            last_ts_ms = 0
+            frontier = 0
+
+        if timed_out:
+            # conversation silent for ttl_s of event time: free its state
+            # (pending partial windows can never complete deterministically)
+            state.remove()
+            return
+
+        before = complete_windows(pend)
+        fresh = []
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            wid = (pdf[idx_col] // size).astype("int64")
-            g = pdf.groupby(wid)[value_col].agg(["count", "sum", "min", "max"])
-            for w, row in g.iterrows():
-                cur = pending.get(str(w))
-                if cur is None:
-                    pending[str(w)] = [int(row["count"]), int(row["sum"]),
-                                       int(row["min"]), int(row["max"])]
-                else:
-                    cur[0] += int(row["count"])
-                    cur[1] += int(row["sum"])
-                    cur[2] = min(cur[2], int(row["min"]))
-                    cur[3] = max(cur[3], int(row["max"]))
-        done = {w: v for w, v in pending.items() if v[0] >= size}
-        pending = {w: v for w, v in pending.items() if v[0] < size}
-        state.update((json.dumps(pending),))
-        if done:
+            pid = (pdf[idx_col] // g).astype("int64")
+            gb = pdf.groupby(pid)[value_col].agg(["count", "sum", "min", "max"])
+            fresh.append(
+                pd.DataFrame(
+                    {
+                        "p": gb.index.to_numpy(dtype="int64"),
+                        "c": gb["count"].to_numpy(dtype="int64"),
+                        "s": gb["sum"].to_numpy(dtype="int64"),
+                        "mn": gb["min"].to_numpy(dtype="int64"),
+                        "mx": gb["max"].to_numpy(dtype="int64"),
+                    }
+                )
+            )
+            if ttl_s is not None:
+                ns = pdf["_ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+                last_ts_ms = max(int(last_ts_ms), int(ns.max() // 1_000_000))
+        if fresh:
+            pend = (
+                pd.concat([pend, *fresh], ignore_index=True)
+                .groupby("p", as_index=False)
+                .agg(c=("c", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+            )
+        after = complete_windows(pend)
+        after_w = set(after["w"].tolist())
+
+        # emit = windows that BECAME complete in this batch
+        done = after[~after["w"].isin(set(before["w"]))]
+
+        # advance the all-complete frontier, then evict panes whose every
+        # containing window sits below it. "Last window complete" alone is
+        # NOT sufficient under out-of-order arrival — an earlier window
+        # missing a middle pane could still need this pane later.
+        frontier = int(frontier)
+        while frontier in after_w:
+            frontier += 1
+        if not pend.empty:
+            p_arr = pend["p"].to_numpy(dtype="int64")
+            pend = pend[(p_arr // stride) >= frontier]
+
+        if pend.empty:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    pend["p"].tolist(),
+                    pend["c"].tolist(),
+                    pend["s"].tolist(),
+                    pend["mn"].tolist(),
+                    pend["mx"].tolist(),
+                    int(last_ts_ms),
+                    frontier,
+                )
+            )
+            if ttl_s is not None:
+                wm_ms = int(state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(
+                    max(int(last_ts_ms) + ttl_s * 1000, wm_ms + 1)
+                )
+
+        if len(done):
             yield pd.DataFrame(
                 {
-                    "conv_id": [key_tuple[0]] * len(done),
-                    "window_id": [int(w) for w in done],
-                    "n_turns": [v[0] for v in done.values()],
-                    "sum_val": [v[1] for v in done.values()],
-                    "min_val": [v[2] for v in done.values()],
-                    "max_val": [v[3] for v in done.values()],
-                    "avg_val": [v[1] / v[0] for v in done.values()],
+                    "conv_id": np.repeat(key_tuple[0], len(done)),
+                    "window_id": done["w"].to_numpy(dtype="int64"),
+                    "n_turns": done["n"].to_numpy(dtype="int64"),
+                    "sum_val": done["s"].to_numpy(dtype="int64"),
+                    "min_val": done["mn"].to_numpy(dtype="int64"),
+                    "max_val": done["mx"].to_numpy(dtype="int64"),
+                    "avg_val": done["s"].to_numpy() / done["n"].to_numpy(),
                 }
             )
 
-    return stream.groupBy(key).applyInPandasWithState(
-        fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append", "NoTimeout"
+    return src.groupBy(key).applyInPandasWithState(
+        fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
     )

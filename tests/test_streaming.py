@@ -221,6 +221,66 @@ def test_streaming_count_windows(spark, stream_dir):
         q.stop()
 
 
+def test_count_window_ttl_frees_silent_conversation(spark):
+    """Event-time TTL: a conversation that goes silent mid-window must
+    have its pending state expired once the watermark advances ttl past
+    its last event (ResultAggregator.java:211-216 buffer reclamation
+    analogue) — on a 10^12-turn stream, dead conversations must not leak
+    state forever. A live conversation keeps flowing and emitting."""
+    import datetime as dt
+
+    from saber_spark.streaming.stateful import streaming_count_windows as scw
+    import pyspark.sql.types as T
+
+    base = dt.datetime(2024, 1, 1)
+    tmp = os.path.join(TMP, "ttl_stream")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(os.path.join(TMP, "ckpt_ttlcw"), ignore_errors=True)
+    os.makedirs(tmp)
+
+    def rows(conv, turns, t0):
+        return [
+            (conv, i, 10 + i, base + dt.timedelta(seconds=t0 + i)) for i in turns
+        ]
+
+    # conv A: 10 turns then silence (partial window); conv B: keeps going
+    chunks = [
+        rows("A", range(0, 10), 0) + rows("B", range(0, 8), 0),
+        rows("B", range(8, 16), 1000),   # B completes window 0 here
+        rows("B", range(16, 21), 2000),  # watermark passes A.last_ts + ttl
+    ]
+    schema = "conv_id string, turn_idx int, text_len long, ts timestamp"
+    for k, ch in enumerate(chunks):
+        spark.createDataFrame(ch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, f"chunk={k:03d}"))
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("conv_id", T.StringType()),
+                    T.StructField("turn_idx", T.IntegerType()),
+                    T.StructField("text_len", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/chunk=*")
+    )
+    out = scw(stream, size=16, value_col="text_len", ttl_s=600)
+    q = _run_to_memory(out, "ttlcw", "append")
+    try:
+        got = spark.sql("SELECT conv_id, window_id, n_turns FROM ttlcw").toPandas()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    assert set(zip(got.conv_id, got.window_id)) == {("B", 0)}
+    assert (got.n_turns == 16).all()
+    # A's pending partials expired: only B's open-window state remains
+    assert state_rows == 1, f"expected 1 live state row, found {state_rows}"
+
+
 def test_streaming_pane_sliding_parity(spark, stream_dir):
     """The streaming pane operator (applyInPandasWithState subtract-on-
     evict) must emit exactly the windows the batch pane layer produces,
