@@ -582,6 +582,160 @@ def lrb_cep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # canonical SG2 shape: local-vs-global load comparison).
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# SG1-style: GLOBAL sliding-window average (smart-grid query 1: avg load
+# over the whole grid, sliding window). Keyless sliding windows are where
+# naive row fan-out hurts most — the pane fanout path keeps the explode at
+# pane granularity (pure Catalyst, two hash aggregates).
+# --------------------------------------------------------------------------
+
+_SG1_ORACLE = with_transcripts_oracle("""
+SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - r.k) * 300        AS window_start,
+       (CAST(floor(epoch(ts) / 300) AS BIGINT) - r.k) * 300 + 3600 AS window_end,
+       count(*)                                                     AS n_turns,
+       avg(length(text))                                            AS avg_len
+FROM transcripts, range(0, 12) AS r(k)
+GROUP BY 1, 2
+""")
+
+
+@register("sg1_global_sliding_avg", _SG1_ORACLE)
+def sg1_global_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SG1 shape (figure-07): global average over a 1 h window sliding by
+    5 min — no group key. Pane partials shrink the input to #panes rows
+    before the window fan-out, so the keyless global aggregate never
+    replicates raw rows."""
+    from saber_spark.operators.panes import pane_windowed_aggregate as _pwa
+
+    t = transcripts(spark, sf_dir).select("ts", F.length("text").alias("text_len"))
+    return _pwa(
+        t, WindowDef(RANGE, 3600, 300),
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("avg", "text_len", "avg_len")],
+        keys=[], method="fanout",
+    )
+
+
+# --------------------------------------------------------------------------
+# SG3-style: per-key windowed average vs global, reduced to an outlier
+# count per window — a 4-stage DAG (agg, agg, broadcast join + filter,
+# agg) in one Catalyst plan.
+# --------------------------------------------------------------------------
+
+_SG3_ORACLE = with_transcripts_oracle("""
+, per_conv AS (
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           conv_id,
+           avg(length(text)) AS conv_avg
+    FROM transcripts
+    GROUP BY 1, 2
+),
+gw AS (
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           avg(length(text)) AS global_avg
+    FROM transcripts
+    GROUP BY 1
+)
+SELECT p.window_start           AS window_start,
+       count(*)                 AS n_outlier_convs,
+       round(max(p.conv_avg), 6) AS max_conv_avg
+FROM per_conv p JOIN gw g USING (window_start)
+WHERE p.conv_avg > g.global_avg
+GROUP BY 1
+""")
+
+
+@register("sg3_outlier_count", _SG3_ORACLE)
+def sg3_outlier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SG3 shape (figure-07): count conversations whose hourly average
+    turn length exceeds the global hourly average. The per-window global
+    side is tiny — broadcast — so the outlier filter and final count add
+    no shuffle of the large side."""
+    t = transcripts(spark, sf_dir).select(
+        "conv_id", "ts", F.length("text").alias("text_len"))
+    w1h = (F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+           .cast("long") * 3600)
+    per_conv = t.groupBy(w1h.alias("window_start"), F.col("conv_id")).agg(
+        F.avg("text_len").alias("conv_avg"))
+    glob = t.groupBy(w1h.alias("g_window")).agg(
+        F.avg("text_len").alias("global_avg"))
+    return (
+        per_conv.join(F.broadcast(glob), per_conv.window_start == glob.g_window)
+        .where(F.col("conv_avg") > F.col("global_avg"))
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_outlier_convs"),
+            F.round(F.max("conv_avg"), 6).alias("max_conv_avg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LRB1-style: segment statistics — per-tool 5-min windowed average with a
+# congestion threshold (Linear Road "segment speed < 40" detection).
+# --------------------------------------------------------------------------
+
+_LRB1_ORACLE = with_transcripts_oracle("""
+SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS window_start,
+       tool,
+       count(*)          AS n_turns,
+       avg(length(text)) AS avg_len
+FROM transcripts
+WHERE tool <> ''
+GROUP BY 1, 2
+HAVING avg(length(text)) < 45
+""")
+
+
+@register("lrb1_segment_stats", _LRB1_ORACLE)
+def lrb1_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRB1 shape (figure-07): per-segment (tool) 5-min windowed average
+    with a below-threshold filter — agg then HAVING in one plan; both
+    engines compare the same exact double (integer sum / count)."""
+    t = transcripts(spark, sf_dir)
+    agg = windowed_aggregate(
+        t.where(cmp("tool", "!=", "")).select(
+            "tool", "ts", F.length("text").alias("text_len")),
+        WindowDef(RANGE, 300),
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("avg", "text_len", "avg_len")],
+        keys=["tool"],
+    )
+    return agg.where(F.col("avg_len") < 45).drop("window_end")
+
+
+# --------------------------------------------------------------------------
+# LRB2-style: stopped-vehicle detection — a conversation re-invoking the
+# SAME tool within one hour (Linear Road's "repeated reports from the same
+# position" accident precursor; threshold sized to transcript density).
+# --------------------------------------------------------------------------
+
+_LRB2_ORACLE = with_transcripts_oracle("""
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+       conv_id,
+       tool,
+       count(*) AS n_repeats
+FROM transcripts
+WHERE tool <> ''
+GROUP BY 1, 2, 3
+HAVING count(*) >= 2
+""")
+
+
+@register("lrb2_stopped_detection", _LRB2_ORACLE)
+def lrb2_stopped_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRB2 shape (figure-07): (window, conversation, tool) groups with
+    repeated reports — one hash aggregate, HAVING as a post-agg
+    filter."""
+    t = transcripts(spark, sf_dir)
+    w1h = (F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+           .cast("long") * 3600)
+    return (
+        t.where(cmp("tool", "!=", ""))
+        .groupBy(w1h.alias("window_start"), F.col("conv_id"), F.col("tool"))
+        .agg(F.count(F.lit(1)).alias("n_repeats"))
+        .where(F.col("n_repeats") >= 2)
+    )
+
+
 _SG2_ORACLE = with_transcripts_oracle("""
 , per_conv AS (
     SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
