@@ -514,6 +514,34 @@ def theta_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "a_turn", "b_turn", "a_len", "b_len")
 
 
+@register("theta_join_hot_salted", _THETA_ORACLE)
+def theta_join_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics/oracle as theta_join_windowed, but skew handling
+    salts ONLY keys above a frequency threshold (two-pass hot-key
+    detection, operators/join.py hot_key_salted_join) — replication cost
+    is paid for the Zipf head alone, not for every key."""
+    from saber_spark.operators.join import hot_key_salted_join
+
+    t = transcripts(spark, sf_dir)
+    a = t.where(cmp("role", "=", "assistant")).select(
+        F.col("conv_id"), F.col("turn_idx").alias("a_turn"),
+        F.length("text").alias("a_len"), F.col("ts").alias("a_ts"))
+    b = t.where(cmp("role", "=", "tool")).select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("b_turn"),
+        F.length("text").alias("b_len"), F.col("ts").alias("b_ts"))
+    extra = (
+        (F.abs(F.col("a_ts").cast("timestamp").cast("double")
+               - F.col("b_ts").cast("timestamp").cast("double")) <= 21600.0)
+        & (F.col("a_len") > F.col("b_len"))
+    )
+    joined = hot_key_salted_join(
+        a, b.withColumnRenamed("b_conv", "conv_id"), key="conv_id",
+        n_salt=8, hot_threshold=25, extra=extra,
+    )
+    return joined.select(a["conv_id"].alias("conv_id"),
+                         "a_turn", "b_turn", "a_len", "b_len")
+
+
 # --------------------------------------------------------------------------
 # LRB-style multi-window CEP DAG (Linear-Road shape; reference builds this
 # with query1.connectTo(query2) — Query.java:243-264. Here it is one

@@ -10,6 +10,7 @@ scale.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from tests.conftest import SF_ORACLE
@@ -62,8 +63,49 @@ def test_simhash_pairs_uses_hash_joins_not_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
-@pytest.mark.parametrize("name", ["theta_join_windowed", "theta_join_salted"])
+@pytest.mark.parametrize(
+    "name",
+    ["theta_join_windowed", "theta_join_salted", "theta_join_hot_salted",
+     "theta_join_row_window"],
+)
 def test_theta_join_is_equi_join_not_cartesian(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+#: exact all-pairs baselines, documented + size-guarded — the ONLY registry
+#: entries allowed a nested-loop join (they are the recall oracles for the
+#: LSH paths, and similarity_cosine_topk probes a bounded query set)
+EXACT_BASELINES = {"similarity_cosine_pairs", "similarity_cosine_topk"}
+
+
+def test_canonical_scale_queries_avoid_nested_loop(spark):
+    """Every canonical (non-baseline) similarity/dedup/join entry must run
+    as hash-partitioned equi-joins — no BroadcastNestedLoopJoin, no
+    CartesianProduct anywhere in the executed plan."""
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash_pairs",
+        "similarity_rp_lsh_pairs",
+        "asof_join_latest_tool_turn",
+        "sg3_outlier_count",
+        "lrb2_stopped_detection",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_cosine_pairs_guard_refuses_large_inputs(spark):
+    """The exact all-pairs cosine baseline must refuse to run on inputs
+    where n²/2 would be an accident (rp_lsh_pairs is the scale path)."""
+    from saber_spark.operators.similarity import cosine_pairs
+
+    big = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.5)] * 4).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="all-pairs baseline"):
+        cosine_pairs(big, guard_rows=100).count()

@@ -72,6 +72,48 @@ def test_salted_join_equals_plain_join_under_skew(spark, zipf):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_hot_key_salted_join_parity_and_replication(spark, zipf):
+    """Hot-key-only salting must (a) equal the plain join, (b) replicate
+    far fewer right rows than full salting: only hot keys get the extra
+    n_salt-1 copies."""
+    from saber_spark.operators.join import hot_key_salted_join
+
+    a = zipf.where(F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").alias("a_turn"), F.col("ts").alias("a_ts"))
+    b = zipf.where(F.col("role") == "tool").select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("b_turn"),
+        F.col("ts").alias("b_ts"))
+    bound = (
+        F.abs(F.col("a_ts").cast("timestamp").cast("double")
+              - F.col("b_ts").cast("timestamp").cast("double")) <= 60.0
+    )
+    threshold = 200  # Zipf head convs only (20k turns / 500 convs, median ~13)
+    plain = windowed_theta_join(
+        a, b.withColumnRenamed("b_conv", "conv_id"), keys=("conv_id",),
+        time_bound_s=60, left_ts="a_ts", right_ts="b_ts",
+    ).select(a["conv_id"], "a_turn", "b_turn")
+    hot = hot_key_salted_join(
+        a, b.withColumnRenamed("b_conv", "conv_id"), key="conv_id",
+        n_salt=8, hot_threshold=threshold, extra=bound,
+    ).select(a["conv_id"], "a_turn", "b_turn")
+    assert plain.count() > 0
+    assert hot.exceptAll(plain).count() == 0
+    assert plain.exceptAll(hot).count() == 0
+    # replication accounting: full salting pays 8x on every right row
+    n_right = b.count()
+    hot_keys = (
+        a.groupBy("conv_id").count().where(F.col("count") > threshold)
+    )
+    n_hot = hot_keys.count()
+    assert 0 < n_hot < 10, f"{n_hot} hot keys — threshold should isolate the Zipf head"
+    n_hot_right = b.withColumnRenamed("b_conv", "conv_id").join(
+        hot_keys.select("conv_id"), "conv_id", "left_semi").count()
+    replicated = n_right + 7 * n_hot_right
+    assert replicated < 0.5 * 8 * n_right, (
+        f"hot-only replication {replicated} rows vs full {8 * n_right}"
+    )
+
+
 def test_salting_spreads_hot_key(spark, zipf):
     """The hot conversation's rows must land in all n_salt buckets."""
     hot = (
