@@ -32,10 +32,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: latency percentiles reported per commit (LatencyMonitor.java:83-107
+#: reports the same five)
+LATENCY_PCTS = (0.05, 0.25, 0.50, 0.75, 0.99)
+
+
 class ExactlyOnceParquetSink:
-    def __init__(self, out_dir: str, checkpoint_dir: str) -> None:
+    def __init__(
+        self, out_dir: str, checkpoint_dir: str, event_ts_col: str | None = None
+    ) -> None:
+        """``event_ts_col``: when set, each commit marker records
+        per-record event-time→commit-time latency percentiles
+        (p5/p25/p50/p75/p99) over the batch — the reference packs
+        (systemTs<<32 | tupleTs) per tuple and reports exactly these
+        percentiles (``LatencyMonitor.java:58-107``)."""
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir
+        self.event_ts_col = event_ts_col
         self.commits_dir = os.path.join(out_dir, "_commits")
         os.makedirs(self.commits_dir, exist_ok=True)
 
@@ -52,12 +65,34 @@ class ExactlyOnceParquetSink:
             return
         target = os.path.join(self.out_dir, f"batch_id={batch_id}")
         df.write.mode("overwrite").parquet(target)
-        n_rows = df.sparkSession.read.parquet(target).count()
+        back = df.sparkSession.read.parquet(target)
+        commit_t = time.time()  # write complete; marker publish follows
+        latency = None
+        if self.event_ts_col and self.event_ts_col in back.columns:
+            lat_ms = (
+                F.lit(commit_t)
+                - F.col(self.event_ts_col).cast("timestamp").cast("double")
+            ) * 1000.0
+            row = back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.percentile_approx(
+                    lat_ms, F.array(*[F.lit(p) for p in LATENCY_PCTS]), 10_000
+                ).alias("pcts"),
+            ).collect()[0]
+            n_rows = row["n"]
+            if row["pcts"] is not None:
+                latency = {
+                    f"p{int(p * 100)}_ms": round(v, 3)
+                    for p, v in zip(LATENCY_PCTS, row["pcts"])
+                }
+        else:
+            n_rows = back.count()
         marker = {
             "batch_id": batch_id,
             "n_rows": n_rows,
-            "committed_at": time.time(),
+            "committed_at": commit_t,
             "partitions": df.rdd.getNumPartitions(),
+            "latency_ms": latency,
         }
         tmp = self._commit_path(batch_id) + ".tmp"
         with open(tmp, "w") as f:
@@ -91,19 +126,30 @@ class ExactlyOnceParquetSink:
         return spark.read.parquet(*paths)
 
     def lineage(self, spark: SparkSession) -> DataFrame:
-        """Commit-marker lineage/metrics as a DataFrame."""
+        """Commit-marker lineage/metrics as a DataFrame (one row per
+        committed batch; latency percentiles when the sink tracks an
+        event-time column)."""
+        schema = (
+            "batch_id long, n_rows long, committed_at double, partitions long, "
+            "p5_ms double, p25_ms double, p50_ms double, p75_ms double, p99_ms double"
+        )
         rows = []
         for f in sorted(os.listdir(self.commits_dir)):
             if f.endswith(".json"):
                 with open(os.path.join(self.commits_dir, f)) as fh:
-                    rows.append(json.load(fh))
-        if not rows:
-            return spark.createDataFrame(
-                [], "batch_id long, n_rows long, committed_at double, partitions long"
-            )
-        return spark.createDataFrame(rows).select(
-            F.col("batch_id").cast("long"),
-            F.col("n_rows").cast("long"),
-            F.col("committed_at").cast("double"),
-            F.col("partitions").cast("long"),
-        )
+                    m = json.load(fh)
+                lat = m.get("latency_ms") or {}
+                rows.append(
+                    (
+                        int(m["batch_id"]),
+                        int(m["n_rows"]),
+                        float(m["committed_at"]),
+                        int(m.get("partitions", 0)),
+                        lat.get("p5_ms"),
+                        lat.get("p25_ms"),
+                        lat.get("p50_ms"),
+                        lat.get("p75_ms"),
+                        lat.get("p99_ms"),
+                    )
+                )
+        return spark.createDataFrame(rows, schema)

@@ -195,6 +195,30 @@ def test_exactly_once_sink_resume(spark, stream_dir):
     assert sink.is_committed(some_batch)
 
 
+def test_sink_per_record_latency_percentiles(spark, stream_dir):
+    """Commit markers carry per-record event-time→commit-time latency
+    percentiles (p5/p25/p50/p75/p99 — LatencyMonitor.java:83-107 report
+    shape), computed over each batch's rows, ordered and queryable
+    through lineage()."""
+    out = os.path.join(TMP, "lat_out")
+    ckpt = os.path.join(TMP, "lat_ckpt")
+    for p in (out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    sink = ExactlyOnceParquetSink(out, ckpt, event_ts_col="ts")
+    stream = _read_stream(spark, stream_dir, max_files_per_trigger=3)
+    proj = stream.select("conv_id", "turn_idx", "ts", "text_len")
+    q = sink.start(proj, output_mode="append", availableNow=True)
+    q.awaitTermination(120)
+    q.stop()
+    lin = sink.lineage(spark).toPandas()
+    assert len(lin) >= 2
+    assert lin.p50_ms.notna().all()
+    for _, r in lin.iterrows():
+        assert r.p5_ms <= r.p25_ms <= r.p50_ms <= r.p75_ms <= r.p99_ms
+    # replayed historical data: event→commit latency is large and positive
+    assert (lin.p5_ms > 0).all()
+
+
 def test_streaming_count_windows(spark, stream_dir):
     """Stateful ROW windows: completed windows == batch row-window agg
     restricted to full windows."""
