@@ -256,6 +256,70 @@ def _hex_digit(h: Column, pos: int) -> Column:
     return F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1)) - 1
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (node,
+    component_id = min doc id in the component). The clustering step
+    every dedup pipeline needs after pair generation: pick one canonical
+    doc per duplicate cluster (pairs alone can chain A~B~C with A≁C).
+
+    Distributed min-label propagation: each round, every node takes the
+    minimum label among itself and its neighbours (one shuffle per
+    round); converges in O(graph diameter) rounds — near-dup clusters
+    are tiny and dense, so a handful. Each round's result is persisted
+    and the loop stops when no label changes (the convergence count is
+    one cheap action per round; at 100 TB fix the round count or switch
+    to the large-star/small-star contraction, which is this same
+    primitive applied to a contracted graph).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # localCheckpoint (eager) truncates the logical plan each round —
+    # iterative DataFrame algorithms otherwise double their plan per
+    # iteration (analysis/codegen cost grows exponentially, then OOMs
+    # long before the data does)
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component_id"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash from distinct-token md5 bits (pure expressions).
 

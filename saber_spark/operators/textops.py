@@ -145,3 +145,20 @@ def fingerprint(col: str | Column, ngram: int = 8) -> Column:
     minimal gram)."""
     grams = char_ngrams(col, ngram)
     return F.array_min(F.transform(grams, lambda g: F.md5(g)))
+
+
+def md5_bucket(col: Column | str, n_buckets: int = 1000) -> Column:
+    """Deterministic, engine-portable hash bucket in [0, n_buckets):
+    the first 4 hex digits of md5 parsed positionally (instr arithmetic
+    — identical in DuckDB), mod n_buckets. The primitive behind
+    reproducible sampling: the same row lands in the same bucket in any
+    engine, at any parallelism, forever."""
+    from saber_spark.operators.dedup import _hex_digit
+
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("string"))
+    val = None
+    for i in range(1, 5):
+        d = _hex_digit(h, i)
+        val = d if val is None else val * 16 + d
+    return F.pmod(val, F.lit(n_buckets))

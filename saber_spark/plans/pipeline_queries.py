@@ -158,6 +158,99 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+# Connected components over the near-dup graph: pairs chain (A~B~C with
+# A≁C), so canonical-doc selection needs the transitive closure. Oracle =
+# recursive CTE computing min reachable id (terminates: UNION dedupes).
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_W}, {_simhash_sql_cte()},
+prs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_components", _COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: SimHash near-dup pairs → connected
+    components (distributed min-label propagation, operators/dedup.py)
+    → every doc labeled with its cluster's min doc id (singletons label
+    themselves). The canonical-doc-per-cluster step of a real dedup
+    pipeline, checked against a recursive-CTE transitive closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.simhash_pairs(docs, max_hamming=3)
+    comps = dd.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return docs.select("doc_id").join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).cast("long").alias("component_id"),
+    )
+
+
+# Deterministic role-stratified sampling (SFT-mix construction): a row is
+# kept iff its portable md5 bucket falls under its role's rate — same
+# sample in any engine, at any parallelism.
+_HEX = "0123456789abcdef"
+_BUCKET_SQL = " + ".join(
+    f"(instr('{_HEX}', substr(h, {i}, 1)) - 1) * {16 ** (4 - i)}"
+    for i in range(1, 5)
+)
+
+_SAMPLE_ORACLE = """
+WITH _ev AS (
+    SELECT user_id, event_id, event_type, props, ts,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx
+    FROM events
+),
+transcripts AS (
+    SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+           turn_idx,
+           CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role
+    FROM _ev
+),
+s AS (
+    SELECT conv_id, turn_idx, role,
+           md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS h
+    FROM transcripts
+)
+SELECT conv_id, turn_idx, role,
+       ({BUCKET}) % 1000 AS bucket
+FROM s
+WHERE ({BUCKET}) % 1000 < CASE role WHEN 'assistant' THEN 500
+                                    WHEN 'user' THEN 250 ELSE 100 END
+""".replace("{BUCKET}", _BUCKET_SQL)
+
+
+@register("sample_stratified", _SAMPLE_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-stratified deterministic sampling over the transcript stream
+    (assistant 50%, user 25%, tool turns 10%) via the portable md5
+    bucket — the reproducible data-mix primitive for training-set
+    construction."""
+    from saber_spark.plans.saber_queries import transcripts as _tx
+
+    t = _tx(spark, sf_dir)
+    key = F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    bucket = tx.md5_bucket(key, 1000)
+    rate = (
+        F.when(F.col("role") == "assistant", 500)
+        .when(F.col("role") == "user", 250)
+        .otherwise(100)
+    )
+    return t.select(
+        "conv_id", "turn_idx", "role", bucket.alias("bucket")
+    ).where(F.col("bucket") < rate)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
