@@ -190,18 +190,31 @@ def streaming_count_windows(
         # emit = windows that BECAME complete in this batch
         done = after[~after["w"].isin(set(before["w"]))]
 
-        # advance the all-complete frontier, then evict panes whose every
-        # containing window sits below it. "Last window complete" alone is
-        # NOT sufficient under out-of-order arrival — an earlier window
-        # missing a middle pane could still need this pane later.
+        # Eviction. Tumbling (stride == panes/window): windows are
+        # disjoint, so a pane is droppable the moment its own window
+        # completes — a permanently-incomplete window elsewhere cannot
+        # block it. Sliding: neighbouring windows share panes, so evict
+        # behind an all-complete frontier ("last window complete" alone
+        # is NOT sufficient under out-of-order arrival — an earlier
+        # window missing a middle pane could still need this pane; a
+        # frontier stalled on a conversation that died mid-window keeps
+        # its trailing panes, which is what the event-time TTL bounds).
         frontier = int(frontier)
         while frontier in after_w:
             frontier += 1
         if not pend.empty:
             p_arr = pend["p"].to_numpy(dtype="int64")
-            pend = pend[(p_arr // stride) >= frontier]
+            if stride == size_p:
+                done_w = np.fromiter(after_w, dtype="int64", count=len(after_w))
+                pend = pend[~np.isin(p_arr // stride, done_w)]
+            else:
+                pend = pend[(p_arr // stride) >= frontier]
 
-        if pend.empty:
+        if pend.empty and stride == size_p:
+            # tumbling: no cross-batch invariant beyond the panes — free
+            # the key entirely. Sliding keeps its frontier even with no
+            # pending panes: dropping it would reset eviction to window 0
+            # on resume and strand every later pane in state.
             if state.exists:
                 state.remove()
         else:

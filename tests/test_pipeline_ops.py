@@ -97,6 +97,29 @@ def test_rp_lsh_recall_measured(spark, embs):
     assert cand < n * (n - 1) / 2 * 0.05, "bucketing must prune >95% of the pair space"
 
 
+def test_connected_components_transitive_chain(spark):
+    """Pairs chain: A~B, B~C, C~D (A never directly paired with D) must
+    collapse into ONE component labeled min(A..D); disconnected pairs and
+    isolated structure stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component_id for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 30-node path graph needs ~diameter rounds of propagation — the
+    loop must converge (and localCheckpoint must keep the plan flat)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    got = dd.connected_components(pairs).toPandas()
+    assert (got.component_id == 0).all()
+    assert len(got) == 31
+
+
 def test_exact_dedup_idempotent(spark, docs):
     dup = docs.unionByName(docs)  # every doc duplicated
     out = dd.exact_dedup(dup).toPandas()

@@ -305,6 +305,59 @@ def test_count_window_ttl_frees_silent_conversation(spark):
     assert state_rows == 1, f"expected 1 live state row, found {state_rows}"
 
 
+def test_count_window_gap_does_not_block_later_windows(spark):
+    """Tumbling count windows: a window that never completes (missing
+    turns) must not block later windows from emitting or being evicted —
+    tumbling windows are disjoint, so completion is per-window."""
+    import datetime as dt
+
+    from saber_spark.streaming.stateful import streaming_count_windows as scw
+    import pyspark.sql.types as T
+
+    base = dt.datetime(2024, 1, 1)
+    tmp = os.path.join(TMP, "gap_stream")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(os.path.join(TMP, "ckpt_gapcw"), ignore_errors=True)
+    os.makedirs(tmp)
+    # window 0 (turns 0-15) complete; window 1 (16-31) permanently partial
+    # (only 20-23 ever arrive); window 2 (32-47) complete, split over chunks
+    chunks = [
+        [("A", i, 10 + i, base + dt.timedelta(seconds=i)) for i in range(0, 16)],
+        [("A", i, 10 + i, base + dt.timedelta(seconds=100 + i)) for i in range(20, 24)]
+        + [("A", i, 10 + i, base + dt.timedelta(seconds=100 + i)) for i in range(32, 40)],
+        [("A", i, 10 + i, base + dt.timedelta(seconds=200 + i)) for i in range(40, 48)],
+    ]
+    schema = "conv_id string, turn_idx int, text_len long, ts timestamp"
+    for k, ch in enumerate(chunks):
+        spark.createDataFrame(ch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, f"chunk={k:03d}"))
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("conv_id", T.StringType()),
+                    T.StructField("turn_idx", T.IntegerType()),
+                    T.StructField("text_len", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/chunk=*")
+    )
+    out = scw(stream, size=16, value_col="text_len")
+    q = _run_to_memory(out, "gapcw", "append")
+    try:
+        got = spark.sql(
+            "SELECT window_id, n_turns FROM gapcw ORDER BY window_id"
+        ).toPandas()
+    finally:
+        q.stop()
+    assert got.window_id.tolist() == [0, 2]
+    assert (got.n_turns == 16).all()
+
+
 def test_streaming_pane_sliding_parity(spark, stream_dir):
     """The streaming pane operator (applyInPandasWithState subtract-on-
     evict) must emit exactly the windows the batch pane layer produces,
