@@ -211,11 +211,12 @@ def minhash_lsh_pairs(
     verified" (tests/test_pipeline_ops.py measures the pruning).
 
     Recall note: banding is probabilistic (see minhash_lsh_candidates).
-    The DuckDB oracle assumes recall 1 vs all-pairs Jaccard at the
-    given threshold; deterministic md5 minhashes make the check
-    reproducible, and the assumption is validated per-corpus by the
-    recall test (r=2, k=16 recovers every J ≥ 0.5 pair on the
-    benchmark corpus).
+    When the output must equal all-pairs Jaccard (an oracle-checked
+    run), use ``rows_per_band=1``: P(candidate | J=0.5) = 1-(1-J)^16
+    ≥ 0.99998, corpus-independent. The r=2 default is the production
+    precision/recall knob — it prunes the verifier hard but its recall
+    near the threshold must be validated per corpus (the recall test
+    does exactly that on the benchmark corpus).
     """
     cands = minhash_lsh_candidates(df, id_col, text_col, n, k, rows_per_band)
     posts = _shingle_posts(df, id_col, text_col, n)
@@ -256,11 +257,35 @@ def _hex_digit(h: Column, pos: int) -> Column:
     return F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1)) - 1
 
 
+def _local_checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """Eager localCheckpoint + the persistent-RDD ids it created, so the
+    caller can free the blocks when the iteration no longer needs them
+    (``Dataset.unpersist()`` does NOT release checkpoint blocks — only
+    the block-manager handle does). Id attribution is a before/after
+    diff of ``getPersistentRDDs``; fine for a single-threaded driver
+    loop, which is the only place this is used."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    created = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    return out, created
+
+
+def _unpersist_rdd_ids(df: DataFrame, ids: set[int]) -> None:
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    check_every: int = 3,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (node,
     component_id = min doc id in the component). The clustering step
@@ -270,53 +295,76 @@ def connected_components(
     Distributed min-label propagation: each round, every node takes the
     minimum label among itself and its neighbours (one shuffle per
     round); converges in O(graph diameter) rounds — near-dup clusters
-    are tiny and dense, so a handful. Each round's result is persisted
-    and the loop stops when no label changes (the convergence count is
-    one cheap action per round; at 100 TB fix the round count or switch
-    to the large-star/small-star contraction, which is this same
-    primitive applied to a contracted graph).
+    are tiny and dense, so a handful. Driver-action discipline for the
+    10^11-edge regime: the convergence count runs every ``check_every``
+    rounds, not every round (propagation is monotone, so one unchanged
+    step is a fixpoint whenever it is observed), each round's
+    checkpoint frees the previous round's blocks (block-manager memory
+    stays O(1) in rounds), and a budget exhaust raises instead of
+    returning unverified labels. For graphs with large diameter,
+    graduate to large-star/small-star contraction — the same primitive
+    on a contracted graph, O(log n) rounds.
+
+    ``stats``: optional dict filled with {"rounds", "convergence_checks"}
+    (asserted by tests/test_pipeline_ops.py).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # localCheckpoint (eager) truncates the logical plan each round —
     # iterative DataFrame algorithms otherwise double their plan per
     # iteration (analysis/codegen cost grows exponentially, then OOMs
     # long before the data does)
-    edges = (
+    edges, edge_ids = _local_checkpoint_tracked(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
-    labels = (
+    labels, label_ids = _local_checkpoint_tracked(
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "node")
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+    rounds = 0
+    checks = 0
+    converged = False
+    try:
+        while rounds < max_iter and not converged:
+            nbr_min = (
+                edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+                .withColumnRenamed("src", "node")
             )
-            .localCheckpoint(eager=True)
+            new_labels, new_ids = _local_checkpoint_tracked(
+                labels.join(nbr_min, "node", "left").select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                        "label"
+                    ),
+                )
+            )
+            rounds += 1
+            if rounds % check_every == 0 or rounds == max_iter:
+                checks += 1
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "node")
+                    .where(F.col("n.label") != F.col("o.label"))
+                    .count()
+                )
+                converged = changed == 0
+            _unpersist_rdd_ids(labels, label_ids)
+            labels, label_ids = new_labels, new_ids
+    finally:
+        _unpersist_rdd_ids(edges, edge_ids)
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["convergence_checks"] = checks
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a verified fixpoint in "
+            f"{max_iter} rounds — graph diameter exceeds the budget; raise "
+            "max_iter or use a star-contraction variant"
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    # the final labels stay checkpointed: the caller consumes them next
     return labels.select("node", F.col("label").alias("component_id"))
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -83,19 +84,58 @@ def fake_decode_header(payload: bytes) -> dict:
     }
 
 
+#: payload size above which per-payload NumPy sums beat the concatenated
+#: segmented-reduce path (the ~1 µs/row NumPy call overhead amortizes;
+#: measured crossover in BENCH/MULTIMODAL.md)
+_BIG_PAYLOAD = 4096
+
+
 def extract_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = "media_id") -> DataFrame:
-    """Byte-level metadata via mapInPandas (vectorized per Arrow batch)."""
+    """Byte-level metadata via mapInPandas, with NumPy doing all per-byte
+    work (no Python interpreter loop over bytes):
+
+    - media-sized payloads (≥4 KB mean): ``np.frombuffer(b).sum()`` per
+      payload — SIMD summation at ~1.8 GB/s/core (~8× CPython
+      ``sum(bytes)``), one O(1) NumPy call per row;
+    - small payloads: one concatenation + ``np.add.reduceat`` segmented
+      sum over the whole Arrow batch — no per-row NumPy call overhead.
+
+    Measured numbers in BENCH/MULTIMODAL.md. At 100 TB of media the
+    per-byte step IS the pipeline bottleneck, so it must run at memory
+    bandwidth, not interpreter speed."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pay = pdf[payload_col]
+            pay = pdf[payload_col].tolist()
+            n = len(pay)
+            lens = np.fromiter((len(b) for b in pay), dtype=np.int64, count=n)
+            total = int(lens.sum())
+            if n and total >= _BIG_PAYLOAD * n:
+                sums = np.fromiter(
+                    (int(np.frombuffer(b, np.uint8).sum(dtype=np.int64)) for b in pay),
+                    dtype=np.int64, count=n,
+                )
+                first = np.fromiter((b[0] if b else -1 for b in pay), dtype=np.int64, count=n)
+                last = np.fromiter((b[-1] if b else -1 for b in pay), dtype=np.int64, count=n)
+            else:
+                big = np.frombuffer(b"".join(pay), dtype=np.uint8)
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                ne = lens > 0
+                sums = np.zeros(n, dtype=np.int64)
+                if len(big):
+                    sums[ne] = np.add.reduceat(big, starts[ne], dtype=np.int64)
+                    first = np.where(ne, big[np.minimum(starts, len(big) - 1)], -1)
+                    last = np.where(ne, big[np.maximum(ends - 1, 0)], -1)
+                else:  # batch of only empty payloads
+                    first = last = np.full(n, -1, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
-                    "n_bytes": pay.map(len).astype("int64"),
-                    "first_byte": pay.map(lambda b: b[0] if len(b) else -1).astype("int32"),
-                    "last_byte": pay.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
-                    "byte_checksum": pay.map(lambda b: sum(b) % 999983).astype("int64"),
+                    "n_bytes": lens,
+                    "first_byte": first.astype("int32"),
+                    "last_byte": last.astype("int32"),
+                    "byte_checksum": sums % 999983,
                 }
             )
 

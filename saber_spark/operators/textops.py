@@ -147,9 +147,16 @@ def fingerprint(col: str | Column, ngram: int = 8) -> Column:
     return F.array_min(F.transform(grams, lambda g: F.md5(g)))
 
 
+#: hex digits of md5 parsed into the bucket value. 8 digits span 2^32
+#: values, so the modulo bias for n_buckets=1000 is (2^32 mod 1000)/2^32
+#: ≈ 7e-8 — negligible (4 digits = 65536 values gave buckets 0-535 a
+#: ~1.5% over-representation).
+MD5_BUCKET_DIGITS = 8
+
+
 def md5_bucket(col: Column | str, n_buckets: int = 1000) -> Column:
     """Deterministic, engine-portable hash bucket in [0, n_buckets):
-    the first 4 hex digits of md5 parsed positionally (instr arithmetic
+    the first 8 hex digits of md5 parsed positionally (instr arithmetic
     — identical in DuckDB), mod n_buckets. The primitive behind
     reproducible sampling: the same row lands in the same bucket in any
     engine, at any parallelism, forever."""
@@ -158,7 +165,7 @@ def md5_bucket(col: Column | str, n_buckets: int = 1000) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     h = F.md5(c.cast("string"))
     val = None
-    for i in range(1, 5):
-        d = _hex_digit(h, i)
+    for i in range(1, MD5_BUCKET_DIGITS + 1):
+        d = _hex_digit(h, i).cast("long")  # 16^8 > 2^31: accumulate in long
         val = d if val is None else val * 16 + d
     return F.pmod(val, F.lit(n_buckets))

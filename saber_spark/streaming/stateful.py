@@ -87,6 +87,16 @@ def streaming_count_windows(
     slide = size if slide is None else slide
     if not (0 < slide <= size):
         raise ValueError(f"need 0 < slide <= size, got {size=} {slide=}")
+    if slide < size and ttl_s is None:
+        import warnings
+
+        warnings.warn(
+            "sliding count windows keep one frontier row per conversation "
+            "forever when ttl_s is unset (the eviction frontier must survive "
+            "quiet periods); fine for bounded replays, but set ttl_s on an "
+            "unbounded stream so dead conversations free their state",
+            stacklevel=2,
+        )
     g = math.gcd(size, slide)
     size_p = size // g  # panes per window
     stride = slide // g  # panes per slide

@@ -111,13 +111,33 @@ def test_connected_components_transitive_chain(spark):
 
 def test_connected_components_long_path_converges(spark):
     """A 30-node path graph needs ~diameter rounds of propagation — the
-    loop must converge (and localCheckpoint must keep the plan flat)."""
+    loop must converge (and localCheckpoint must keep the plan flat),
+    with convergence-count actions bounded to ceil(rounds/check_every)
+    (driver-action cadence at 10^11 edges) and no leaked checkpoint
+    blocks beyond the returned labels."""
+    sc = spark.sparkContext
+    before_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
-    got = dd.connected_components(pairs).toPandas()
+    stats: dict = {}
+    got = dd.connected_components(pairs, check_every=3, stats=stats).toPandas()
     assert (got.component_id == 0).all()
     assert len(got) == 31
+    assert stats["convergence_checks"] <= -(-stats["rounds"] // 3)
+    # every intermediate checkpoint freed; only the final labels remain
+    leaked = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before_ids
+    assert len(leaked) <= 1, f"leaked checkpoint blocks: {leaked}"
+
+
+def test_connected_components_budget_exhaust_raises(spark):
+    """An unconverged round budget must raise, not return unverified
+    labels (a 10-node path cannot converge in 2 rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dd.connected_components(pairs, max_iter=2, check_every=3)
 
 
 def test_exact_dedup_idempotent(spark, docs):
@@ -145,6 +165,34 @@ def test_multimodal_frame_sample(spark, docs):
     frames = mm.frame_sample_stub(media, every_n=30).toPandas()
     assert (frames.frame_idx % 30 == 0).all()
     assert len(frames) > 0
+
+
+def test_extract_metadata_both_vector_paths(spark):
+    """The size-adaptive byte-metadata operator must agree with a plain
+    Python reference on BOTH branches (segmented-reduce for small
+    payloads, per-payload NumPy for media-sized) including empty
+    payloads."""
+    small = [b"", b"\x05", b"abc", b"\x00" * 10, bytes(range(256))]
+    # mean length must clear the 4 KB adaptive threshold even with the
+    # empty payload included, so this batch takes the per-payload branch
+    big = [bytes([i % 256] * 9000) for i in range(3)] + [b""]
+    for payloads in (small, big):
+        rows = [(i, p) for i, p in enumerate(payloads)]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {
+            r.media_id: (r.n_bytes, r.first_byte, r.last_byte, r.byte_checksum)
+            for r in mm.extract_metadata(df).collect()
+        }
+        want = {
+            i: (
+                len(p),
+                p[0] if p else -1,
+                p[-1] if p else -1,
+                sum(p) % 999983,
+            )
+            for i, p in enumerate(payloads)
+        }
+        assert got == want
 
 
 def test_corpus_is_ascii(spark, docs):
