@@ -416,10 +416,14 @@ def _cm1_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cm1_pane_fanout", _CM1_ORACLE)
 def cm1_pane_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CM1 via pane partials + pane-level window fan-out (pure Catalyst:
-    two hash aggregates; shuffle volume ∝ #panes, not #rows × w/s)."""
+    two hash aggregates; shuffle volume ∝ #panes, not #rows × w/s).
+
+    Not a registry entry (50-entry consolidation): the fanout strategy
+    keeps a driver-green row through sg1_global_sliding_avg (same
+    method, keyless) and bit-parity pytest coverage vs the built-in
+    window() in tests/test_panes.py; bench.py still times this shape."""
     return pane_windowed_aggregate(
         _cm1_input(spark, sf_dir), WindowDef(RANGE, 3600, 300),
         _CM1_AGGS, keys=["tool"], method="fanout")
@@ -490,8 +494,12 @@ def w2_projection_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle), hot conv_ids spread over 8 shuffle buckets (north_star skew)
 # --------------------------------------------------------------------------
 
-@register("theta_join_salted", _THETA_ORACLE)
 def theta_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-salting variant — identical semantics and oracle as
+    theta_join_hot_salted, which is the canonical registered form
+    (50-entry consolidation); parity + replication pytest coverage in
+    tests/test_skew_and_synth.py keeps this path verified, and bench.py
+    still times it in the scaling workload."""
     from saber_spark.operators.join import salted_equi_join
 
     t = transcripts(spark, sf_dir)
@@ -761,6 +769,141 @@ def lrb2_stopped_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(w1h.alias("window_start"), F.col("conv_id"), F.col("tool"))
         .agg(F.count(F.lit(1)).alias("n_repeats"))
         .where(F.col("n_repeats") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# LRB3-style: toll assessment — the figure-07 multi-window chain (windowed
+# segment stats -> join back to the per-vehicle stream shifted one window ->
+# conditional toll projection -> per-vehicle aggregate). Linear Road tolls
+# a car entering segment s at minute m by the congestion of s in m-1 with
+# toll = 2*(cars-150)^2; here: a conversation's tool turns in 6h window w
+# are tolled by that tool's (w-1) stats when congested (avg_len below the
+# fleet mean AND >= 21 turns), toll = 2*(n_seg-20)^2.
+# --------------------------------------------------------------------------
+
+_LRB3_W = 21600
+
+_LRB3_ORACLE = with_transcripts_oracle(f"""
+, seg AS (
+    SELECT tool, CAST(floor(epoch(ts) / {_LRB3_W}) AS BIGINT) * {_LRB3_W} AS w,
+           count(*) AS n_seg, avg(length(text)) AS seg_avg
+    FROM transcripts WHERE tool <> '' GROUP BY 1, 2
+),
+tolled AS (
+    SELECT t.conv_id,
+           CAST(floor(epoch(t.ts) / {_LRB3_W}) AS BIGINT) * {_LRB3_W} AS w,
+           CASE WHEN s.seg_avg < 28.5 AND s.n_seg >= 21
+                THEN 2 * (s.n_seg - 20) * (s.n_seg - 20) ELSE 0 END AS toll
+    FROM transcripts t
+    JOIN seg s ON s.tool = t.tool
+              AND s.w = CAST(floor(epoch(t.ts) / {_LRB3_W}) AS BIGINT) * {_LRB3_W} - {_LRB3_W}
+    WHERE t.tool <> ''
+)
+SELECT w AS window_start, conv_id, count(*) AS n_turns,
+       CAST(sum(toll) AS BIGINT) AS toll_total
+FROM tolled GROUP BY 1, 2
+""")
+
+
+@register("lrb3_toll_assessment", _LRB3_ORACLE)
+def lrb3_toll_assessment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRB3 shape (figure-07 comparison-boxes-tuples.dat:8): windowed
+    segment stats -> join each turn back against its segment's PREVIOUS
+    window -> conditional toll projection -> per-conversation toll
+    aggregate. The segment-stats side is an aggregation output (tiny) —
+    broadcast, so the per-turn stream is never shuffled."""
+    t = transcripts(spark, sf_dir)
+    w6 = (F.floor(F.col("ts").cast("timestamp").cast("double") / _LRB3_W)
+          .cast("long") * _LRB3_W)
+    turns = t.where(cmp("tool", "!=", "")).select(
+        "conv_id", "tool", w6.alias("t_w"), F.length("text").alias("text_len"))
+    seg = turns.groupBy(F.col("tool").alias("s_tool"), F.col("t_w").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_seg"), F.avg("text_len").alias("seg_avg"))
+    toll = (
+        F.when((F.col("seg_avg") < 28.5) & (F.col("n_seg") >= 21),
+               2 * (F.col("n_seg") - 20) * (F.col("n_seg") - 20))
+        .otherwise(F.lit(0))
+    )
+    tolled = turns.join(
+        F.broadcast(seg),
+        (F.col("tool") == F.col("s_tool")) & (F.col("w") == F.col("t_w") - _LRB3_W),
+    ).select("conv_id", "t_w", toll.alias("toll"))
+    return tolled.groupBy(
+        F.col("t_w").alias("window_start"), F.col("conv_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("toll").cast("long").alias("toll_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LRB4-style: accident notification — two chained window aggregations plus a
+# join back to the stream (Linear Road: >=2 stopped vehicles at the same
+# position = accident; vehicles arriving in the following windows are
+# notified). Stopped = a conversation re-invoking the same tool >= 2 times
+# inside a 6h window (LRB2's detector); accident = >= 2 distinct stopped
+# conversations on the same (tool, window); notification = every tool turn
+# in the NEXT window of an accident segment.
+# --------------------------------------------------------------------------
+
+_LRB4_ORACLE = with_transcripts_oracle(f"""
+, stopped AS (
+    SELECT conv_id, tool,
+           CAST(floor(epoch(ts) / {_LRB3_W}) AS BIGINT) * {_LRB3_W} AS w
+    FROM transcripts WHERE tool <> ''
+    GROUP BY 1, 2, 3 HAVING count(*) >= 2
+),
+accidents AS (
+    SELECT tool, w, count(*) AS n_stopped
+    FROM stopped GROUP BY 1, 2 HAVING count(*) >= 2
+),
+notified AS (
+    SELECT t.conv_id, t.tool, a.w + {_LRB3_W} AS w_notify, a.n_stopped
+    FROM transcripts t
+    JOIN accidents a ON a.tool = t.tool
+     AND CAST(floor(epoch(t.ts) / {_LRB3_W}) AS BIGINT) * {_LRB3_W} = a.w + {_LRB3_W}
+    WHERE t.tool <> ''
+)
+SELECT w_notify AS window_start, tool,
+       count(*) AS n_notified_turns,
+       count(DISTINCT conv_id) AS n_notified_convs,
+       CAST(max(n_stopped) AS BIGINT) AS n_stopped
+FROM notified GROUP BY 1, 2
+""")
+
+
+@register("lrb4_accident_notification", _LRB4_ORACLE)
+def lrb4_accident_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRB4 shape (figure-07 comparison-boxes-tuples.dat:9): chained
+    windowed aggregations (stopped detection -> accident confirmation)
+    joined back to the next window of the stream, then a final windowed
+    aggregate — a 4-operator DAG in one Catalyst plan, accident side
+    broadcast (aggregation output, tiny by construction)."""
+    t = transcripts(spark, sf_dir)
+    w6 = (F.floor(F.col("ts").cast("timestamp").cast("double") / _LRB3_W)
+          .cast("long") * _LRB3_W)
+    turns = t.where(cmp("tool", "!=", "")).select("conv_id", "tool", w6.alias("t_w"))
+    stopped = (
+        turns.groupBy("conv_id", "tool", F.col("t_w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_rep"))
+        .where(F.col("n_rep") >= 2)
+    )
+    accidents = (
+        stopped.groupBy(F.col("tool").alias("a_tool"), F.col("w"))
+        .agg(F.count(F.lit(1)).alias("n_stopped"))
+        .where(F.col("n_stopped") >= 2)
+    )
+    notified = turns.join(
+        F.broadcast(accidents),
+        (F.col("tool") == F.col("a_tool")) & (F.col("t_w") == F.col("w") + _LRB3_W),
+    )
+    return notified.groupBy(
+        F.col("t_w").alias("window_start"), F.col("tool")
+    ).agg(
+        F.count(F.lit(1)).alias("n_notified_turns"),
+        F.countDistinct("conv_id").alias("n_notified_convs"),
+        F.max("n_stopped").cast("long").alias("n_stopped"),
     )
 
 

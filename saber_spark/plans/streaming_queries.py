@@ -137,11 +137,15 @@ HAVING count(*) >= 16
 """)
 
 
-@register("row_window_streamed_stateful", _COUNTWIN_STREAM_ORACLE)
 def row_window_streamed_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-based windows as a custom stateful streaming operator
-    (applyInPandasWithState keyed on conv_id); completed windows only —
-    the oracle filters to full windows accordingly."""
+    """Count-based TUMBLING windows as a custom stateful streaming
+    operator (applyInPandasWithState keyed on conv_id); completed
+    windows only — the oracle filters to full windows accordingly.
+
+    Not a registry entry (50-entry consolidation): tumbling is the
+    slide==size special case of the registered row_window_sliding_streamed
+    (same operator, streaming/stateful.py), and the tumbling state path
+    keeps pytest coverage in tests/test_streaming.py."""
     path = _stage_chunks(spark, sf_dir, "cw")
     stream = read_transcript_stream(
         spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
@@ -182,6 +186,66 @@ def row_window_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "window_id", "n_turns", "sum_val", "max_val"
     )
     return _run_complete(spark, out, "row_window_sliding_streamed_mem")
+
+
+# YSB through the EXACTLY-ONCE SINK, end to end: stream -> windowed agg
+# (append mode, 0 s watermark) -> ExactlyOnceParquetSink (per-batch
+# overwrite + atomic commit marker, per-record latency percentiles) ->
+# read_committed(). The driver value-checks what a downstream consumer
+# would actually read back from committed batches — the north_rule sink
+# itself, not a memory-sink stand-in. Append mode emits exactly the
+# windows whose end <= final watermark (= max assistant ts at 0 s delay),
+# which the oracle reproduces with a scalar subquery.
+_YSB_SUNK_ORACLE = with_transcripts_oracle("""
+, a AS (SELECT ts, length(text) AS tl FROM transcripts WHERE role = 'assistant'),
+wm AS (SELECT max(epoch(ts)) AS w FROM a),
+agg AS (
+    SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600       AS window_start,
+           CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 + 600 AS window_end,
+           count(*)                                            AS n_turns,
+           CAST(sum(tl) AS BIGINT)                             AS sum_len,
+           avg(tl)                                             AS avg_len
+    FROM a GROUP BY 1, 2
+)
+SELECT * FROM agg WHERE window_end <= (SELECT w FROM wm)
+""")
+
+
+@register("ysb_windowed_agg_sunk", _YSB_SUNK_ORACLE)
+def ysb_windowed_agg_sunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The YSB flagship executed as a stream INTO the exactly-once sink
+    (streaming/sink.py), result read back from committed batches only —
+    driver-verifies the full produce->commit->consume path the north_rule
+    names as a first-class deliverable (reference analogue: result
+    re-dispatch, ResultAggregator.java:164-209, which persists nothing;
+    the sink is new engineering on Spark primitives)."""
+    from saber_spark.streaming.sink import ExactlyOnceParquetSink
+
+    path = _stage_chunks(spark, sf_dir, "ysbsunk")
+    out_dir = os.path.join(_TMP, "driver_stream", "sunk_out")
+    ckpt = os.path.join(_TMP, "driver_stream", "ckpt_sunk")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    )
+    agg = streaming_windowed_aggregate(
+        stream.where(F.col("role") == "assistant"),
+        WindowDef(RANGE, 600),
+        [
+            AggSpec("cnt", "*", "n_turns"),
+            AggSpec("sum", "text_len", "sum_len"),
+            AggSpec("avg", "text_len", "avg_len"),
+        ],
+        watermark="0 seconds",
+    )
+    sink = ExactlyOnceParquetSink(out_dir, ckpt, event_ts_col="window_end")
+    q = sink.start(agg, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    return sink.read_committed(spark).select(
+        "window_start", "window_end", "n_turns", "sum_len", "avg_len"
+    )
 
 
 @register("theta_join_streamed", _THETA_ORACLE)

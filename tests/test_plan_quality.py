@@ -16,9 +16,21 @@ import __spark_entry__ as entrymod
 from tests.conftest import SF_ORACLE
 
 
-def _plan(spark, name: str) -> str:
-    df = entrymod.queries()[name](spark, SF_ORACLE)
+def _plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _plan(spark, name: str) -> str:
+    return _plan_of(entrymod.queries()[name](spark, SF_ORACLE))
+
+
+def _unregistered(spark, name: str):
+    """Shapes consolidated out of the 50-entry registry keep their plan
+    assertions by building the DataFrame from the (still exported)
+    builder functions directly."""
+    from saber_spark.plans import saber_queries as sq
+
+    return getattr(sq, name)(spark, SF_ORACLE)
 
 
 def test_q3_broadcasts_dimension(spark):
@@ -46,15 +58,17 @@ def test_hot_queries_have_no_python_row_udfs(spark):
     for name in (
         "ysb_windowed_agg",
         "cm1_grouped_sliding_agg",
-        "cm1_pane_fanout",
         "cm1_pane_incremental",
         "theta_join_windowed",
         "dedup_minhash_lsh",
-        "similarity_cosine_pairs",
-        "text_quality_score",
+        "similarity_cosine_topk",
+        "text_analysis",
+        "multimodal_metadata",
     ):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+    plan = _plan_of(_unregistered(spark, "cm1_pane_fanout"))
+    assert "BatchEvalPython" not in plan
 
 
 def test_simhash_pairs_uses_hash_joins_not_nested_loop(spark):
@@ -65,8 +79,7 @@ def test_simhash_pairs_uses_hash_joins_not_nested_loop(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["theta_join_windowed", "theta_join_salted", "theta_join_hot_salted",
-     "theta_join_row_window"],
+    ["theta_join_windowed", "theta_join_hot_salted", "theta_join_row_window"],
 )
 def test_theta_join_is_equi_join_not_cartesian(spark, name):
     plan = _plan(spark, name)
@@ -74,10 +87,17 @@ def test_theta_join_is_equi_join_not_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-#: exact all-pairs baselines, documented + size-guarded — the ONLY registry
-#: entries allowed a nested-loop join (they are the recall oracles for the
-#: LSH paths, and similarity_cosine_topk probes a bounded query set)
-EXACT_BASELINES = {"similarity_cosine_pairs", "similarity_cosine_topk"}
+def test_full_salted_theta_join_is_equi_join(spark):
+    plan = _plan_of(_unregistered(spark, "theta_join_salted"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+#: exact all-pairs baselines, documented + size-guarded — the ONLY shapes
+#: allowed a nested-loop join (cosine_pairs is the recall oracle for the
+#: LSH path — pytest-only, not a registry entry; similarity_cosine_topk
+#: probes a bounded query set)
+EXACT_BASELINES = {"similarity_cosine_topk"}
 
 
 def test_canonical_scale_queries_avoid_nested_loop(spark):
