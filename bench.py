@@ -629,7 +629,9 @@ def run_trigger_sweep(cpus: int = 32) -> None:
              .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
         q.awaitTermination(1200)
         elapsed = time.perf_counter() - t0
-        n_batches = len([p for p in q.recentProgress if p.get("numInputRows", 0) > 0])
+        # recentProgress caps at ~100 entries; lastProgress.batchId counts all
+        last = q.lastProgress
+        n_batches = int(last["batchId"]) + 1 if last else 0
         q.stop()
         return {"max_files_per_trigger": f,
                 "rows_per_trigger": int(rows_per_file * f),

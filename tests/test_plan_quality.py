@@ -51,6 +51,18 @@ def test_lrb_broadcasts_flagged_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.parametrize(
+    "name", ["lrb3_toll_assessment", "lrb4_accident_notification"]
+)
+def test_lrb34_broadcast_the_aggregated_side(spark, name):
+    """The join-back stages must broadcast the windowed-stats/accident
+    side (an aggregation output, tiny by construction) so the per-turn
+    stream is never shuffled for the join."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_hot_queries_have_no_python_row_udfs(spark):
     """BatchEvalPython = row-at-a-time Python — banned from the engine.
     ArrowEvalPython / FlatMapGroupsInPandas (vectorized) are the only
