@@ -97,6 +97,32 @@ def test_rp_lsh_recall_measured(spark, embs):
     assert cand < n * (n - 1) / 2 * 0.05, "bucketing must prune >95% of the pair space"
 
 
+def test_rp_lsh_multiprobe_recovers_recall(spark, embs):
+    """Multiprobe must strictly widen the candidate set over single-bucket
+    probing (monotone in n_probes) and lift recall@5 toward the exact
+    brute-force top-5, while still probing only n_probes+1 of 2^12
+    buckets."""
+    queries = embs.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in sim.cosine_topk(embs, queries, k=5).collect()
+    }
+
+    def recall(n_probes):
+        got = {
+            (r.query_id, r.nbr_id)
+            for r in sim.rp_lsh_topk_multiprobe(
+                embs, queries, k=5, n_planes=6, n_probes=n_probes
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r4, r10 = recall(0), recall(4), recall(10)
+    assert r0 <= r4 <= r10, "recall must be monotone in probe count"
+    assert r10 > r0, "multiprobe must recover neighbours single-bucket misses"
+    assert r10 >= 0.3, f"recall@5 with 10 probes too low: {r10}"
+
+
 def test_connected_components_transitive_chain(spark):
     """Pairs chain: A~B, B~C, C~D (A never directly paired with D) must
     collapse into ONE component labeled min(A..D); disconnected pairs and
