@@ -696,6 +696,77 @@ def run_trigger_sweep(cpus: int = 32) -> None:
     print(json.dumps({"ysb": ysb_rows, "cm1_pane": cm1_rows, "written": out}))
 
 
+def run_thread_sweep() -> None:
+    """Reference figure-14 analogue: one shape, thread count swept
+    1→32 in fresh JVMs over identical input (the reference sweeps a
+    projection at row window 1024/1024 from 248 MB/s at 1 thread to a
+    plateau at the 16 physical cores — BASELINE.md fig 14). Shape here:
+    the YSB filter→project→tumbling-agg batch plan over the staged
+    2M-turn input. Writes BENCH/THREADS.md."""
+    results = []
+    for cpus in (1, 2, 4, 8, 16, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--thread-worker"],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    base = results[0]["sec"]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "THREADS.md")
+    with open(path, "w") as f:
+        f.write(
+            "# CPU scalability sweep (reference figure-14 analogue)\n\n"
+            "Reference: projection throughput 248 MB/s at 1 thread → 3.84\n"
+            "GB/s at 16 (≈15.5×), plateau at physical cores\n"
+            "(figure-14/cpu-scalability.dat). Here: the YSB\n"
+            "filter→project→tumbling-agg batch plan over 2,000,000 staged\n"
+            "turns, fresh JVM per level, best-of-3 per level (noisy VM),\n"
+            "fixed 64 shuffle partitions so only the core count varies.\n\n"
+            "| threads | best sec | turns/s | speedup vs 1 |\n|---|---|---|---|\n")
+        for r in results:
+            f.write(f"| {r['cpus']} | {r['sec']} | {r['turns_per_sec']} "
+                    f"| {round(base / r['sec'], 2)}× |\n")
+        f.write(
+            "\nRead the curve like the reference's: near-linear while the\n"
+            "shape is compute-bound, flattening when the scan + shuffle of a\n"
+            "fixed-size input saturates the shared memory subsystem (the\n"
+            "plateau the reference hits at its physical-core count). External\n"
+            "neighbour load can depress any single level — the trend is the\n"
+            "claim, not single points.\n")
+    print(json.dumps({"rows": results, "written": path}))
+
+
+def run_thread_worker(cpus: int) -> dict:
+    import pyspark.sql.functions as F
+    from saber_spark.session import get_spark
+    from saber_spark.operators.aggregation import AggSpec, windowed_aggregate
+    from saber_spark.operators.windows import RANGE, WindowDef
+
+    spark = get_spark(app_name=f"saber_threads_{cpus}", cpus=cpus,
+                      shuffle_partitions=64)
+    stage_trigger_input(spark)
+    t = spark.read.parquet(TRIGGER_BASE)
+
+    def shape():
+        return windowed_aggregate(
+            t.where(F.col("role") == "assistant").select(
+                "ts", F.length("text").cast("long").alias("text_len")),
+            WindowDef(RANGE, 600),
+            [AggSpec("cnt", "*", "n"), AggSpec("sum", "text_len", "s"),
+             AggSpec("avg", "text_len", "a")])
+
+    def materialize() -> float:
+        t0 = time.perf_counter()
+        shape().write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    materialize()  # warm
+    best = min(materialize() for _ in range(3))
+    return {"cpus": cpus, "sec": round(best, 3),
+            "turns_per_sec": round(TRIGGER_TURNS / best, 1)}
+
+
 def run_regressed_recheck(sf_dir: str, cpus: int = 32, rounds: int = 3) -> None:
     """VERDICT r2 item 9: cm1_pane_fanout (+35%) and
     cm1_grouped_sliding_agg (+18%) regressed r1→r2 with no code change —
@@ -772,6 +843,10 @@ if __name__ == "__main__":
     ap.add_argument("--rerun-regressed", action="store_true",
                     help="interleaved best-of-N recheck of the r2-regressed "
                          "shapes -> BENCH/REGRESSED.md")
+    ap.add_argument("--thread-sweep", action="store_true",
+                    help="figure-14-style CPU scalability -> BENCH/THREADS.md")
+    ap.add_argument("--thread-worker", action="store_true",
+                    help="internal: one thread level of the thread sweep")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                        "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int,
@@ -779,6 +854,10 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.scale_worker:
         print(json.dumps(run_scale_worker(args.cpus)))
+    elif args.thread_worker:
+        print(json.dumps(run_thread_worker(args.cpus)))
+    elif args.thread_sweep:
+        run_thread_sweep()
     elif args.trigger_sweep:
         run_trigger_sweep(args.cpus)
     elif args.rerun_regressed:
