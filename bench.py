@@ -719,10 +719,11 @@ def run_thread_sweep() -> None:
             "# CPU scalability sweep (reference figure-14 analogue)\n\n"
             "Reference: projection throughput 248 MB/s at 1 thread → 3.84\n"
             "GB/s at 16 (≈15.5×), plateau at physical cores\n"
-            "(figure-14/cpu-scalability.dat). Here: the YSB\n"
-            "filter→project→tumbling-agg batch plan over 2,000,000 staged\n"
-            "turns, fresh JVM per level, best-of-3 per level (noisy VM),\n"
-            "fixed 64 shuffle partitions so only the core count varies.\n\n"
+            f"(figure-14/cpu-scalability.dat). Here: the YSB\n"
+            f"filter→project→tumbling-agg batch plan over {SCALE_TURNS:,}\n"
+            "staged turns (64 files), fresh JVM per level, best-of-3 per\n"
+            "level (noisy VM), fixed 64 shuffle partitions so only the\n"
+            "core count varies.\n\n"
             "| threads | best sec | turns/s | speedup vs 1 |\n|---|---|---|---|\n")
         for r in results:
             f.write(f"| {r['cpus']} | {r['sec']} | {r['turns_per_sec']} "
@@ -738,6 +739,10 @@ def run_thread_sweep() -> None:
 
 
 def run_thread_worker(cpus: int) -> dict:
+    """One level of the figure-14 sweep: YSB batch shape over the
+    64M-turn staged input (the 2M trigger input is overhead-bound at
+    every level — ~1.2 s flat — and measures the scheduler, not the
+    engine)."""
     import pyspark.sql.functions as F
     from saber_spark.session import get_spark
     from saber_spark.operators.aggregation import AggSpec, windowed_aggregate
@@ -745,13 +750,13 @@ def run_thread_worker(cpus: int) -> dict:
 
     spark = get_spark(app_name=f"saber_threads_{cpus}", cpus=cpus,
                       shuffle_partitions=64)
-    stage_trigger_input(spark)
-    t = spark.read.parquet(TRIGGER_BASE)
+    stage_scale_input(spark)
+    t = spark.read.parquet(SCALE_INPUT).withColumn(
+        "text_len", F.length("text").cast("long"))
 
     def shape():
         return windowed_aggregate(
-            t.where(F.col("role") == "assistant").select(
-                "ts", F.length("text").cast("long").alias("text_len")),
+            t.where(F.col("role") == "assistant").select("ts", "text_len"),
             WindowDef(RANGE, 600),
             [AggSpec("cnt", "*", "n"), AggSpec("sum", "text_len", "s"),
              AggSpec("avg", "text_len", "a")])
@@ -764,7 +769,7 @@ def run_thread_worker(cpus: int) -> dict:
     materialize()  # warm
     best = min(materialize() for _ in range(3))
     return {"cpus": cpus, "sec": round(best, 3),
-            "turns_per_sec": round(TRIGGER_TURNS / best, 1)}
+            "turns_per_sec": round(SCALE_TURNS / best, 1)}
 
 
 def run_regressed_recheck(sf_dir: str, cpus: int = 32, rounds: int = 3) -> None:
