@@ -301,9 +301,9 @@ def connected_components(
     step is a fixpoint whenever it is observed), each round's
     checkpoint frees the previous round's blocks (block-manager memory
     stays O(1) in rounds), and a budget exhaust raises instead of
-    returning unverified labels. For graphs with large diameter,
-    graduate to large-star/small-star contraction — the same primitive
-    on a contracted graph, O(log n) rounds.
+    returning unverified labels. For graphs with large diameter, use
+    ``connected_components_star`` (below): large-star/small-star
+    contraction, O(log n) rounds, same output contract.
 
     ``stats``: optional dict filled with {"rounds", "convergence_checks"}
     (asserted by tests/test_pipeline_ops.py).
@@ -366,6 +366,122 @@ def connected_components(
         )
     # the final labels stay checkpointed: the caller consumes them next
     return labels.select("node", F.col("label").alias("component_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    check_every: int = 2,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same output contract as ``connected_components`` (node,
+    component_id = min id in the component), but converging in
+    O(log n) rounds instead of O(diameter): the variant to use when
+    near-dup chains are long (crawl mirrors, boilerplate cascades) or
+    the graph is web-scale.
+
+    Each round is two grouped aggregations + joins:
+    - large-star: every node's strictly-larger neighbours re-attach to
+      the minimum of its neighbourhood (including itself);
+    - small-star: orient edges child=max → parent=min, then every
+      node's smaller neighbours (and itself) re-attach to the minimum
+      parent.
+    At the fixpoint every surviving edge is (node → component root).
+    Driver-action discipline matches connected_components: convergence
+    (edge-set fixpoint via symmetric difference) checked every
+    ``check_every`` rounds, per-round checkpoints freed, budget exhaust
+    raises.
+    """
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .unionByName(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    nodes, node_ids = _local_checkpoint_tracked(nodes)
+    # undirected edge set, canonical (small, large) orientation, no loops
+    edges = pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("s"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("l"),
+    ).where(F.col("s") != F.col("l")).distinct()
+    edges, edge_ids = _local_checkpoint_tracked(edges)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighbour view: (u, v)
+        sym = e.select(F.col("s").alias("u"), F.col("l").alias("v")).unionByName(
+            e.select(F.col("l").alias("u"), F.col("s").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        out = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))  # strictly-larger neighbours
+            .select(F.least("v", "m").alias("s"), F.greatest("v", "m").alias("l"))
+            .where(F.col("s") != F.col("l"))
+            .distinct()
+        )
+        return out
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient child = larger, parent = smaller; group children
+        mins = e.groupBy("l").agg(F.min("s").alias("m"))
+        attached = (
+            e.join(mins, "l")
+            .select(F.col("s").alias("v"), F.col("m"))  # smaller nbrs -> min parent
+            .unionByName(mins.select(F.col("l").alias("v"), F.col("m")))  # node itself
+            .where(F.col("v") != F.col("m"))
+            .select(F.least("v", "m").alias("s"), F.greatest("v", "m").alias("l"))
+            .distinct()
+        )
+        return attached
+
+    rounds = 0
+    checks = 0
+    converged = False
+    try:
+        while rounds < max_iter and not converged:
+            new_edges, new_ids = _local_checkpoint_tracked(
+                small_star(large_star(edges))
+            )
+            rounds += 1
+            if rounds % check_every == 0 or rounds == max_iter:
+                checks += 1
+                diff = (
+                    new_edges.exceptAll(edges).limit(1).count()
+                    + edges.exceptAll(new_edges).limit(1).count()
+                )
+                converged = diff == 0
+            _unpersist_rdd_ids(edges, edge_ids)
+            edges, edge_ids = new_edges, new_ids
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_star did not reach an edge fixpoint in "
+                f"{max_iter} rounds (expected O(log n)); raise max_iter"
+            )
+        # fixpoint: every edge is (root=s, node=l); roots label themselves.
+        # Materialize the labels before freeing the inputs they read from
+        # (unpersisted checkpoints cannot recompute).
+        labels, _ = _local_checkpoint_tracked(
+            nodes.join(
+                edges.select(
+                    F.col("l").alias("node"), F.col("s").alias("component_id")
+                ),
+                "node",
+                "left",
+            ).select(
+                "node", F.coalesce("component_id", F.col("node")).alias("component_id")
+            )
+        )
+        return labels
+    finally:
+        _unpersist_rdd_ids(nodes, node_ids)
+        _unpersist_rdd_ids(edges, edge_ids)
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["convergence_checks"] = checks
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

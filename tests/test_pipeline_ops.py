@@ -166,6 +166,42 @@ def test_connected_components_budget_exhaust_raises(spark):
         dd.connected_components(pairs, max_iter=2, check_every=3)
 
 
+def test_star_components_match_min_label(spark):
+    """Large-star/small-star contraction must produce the identical
+    (node, component_id) labeling as min-label propagation on chains,
+    stars, and seeded random graphs — and converge in O(log n) rounds
+    where the min-label walk needs O(diameter)."""
+    import random
+
+    rng = random.Random(11)
+    graphs = {
+        "chain60": [(i, i + 1) for i in range(60)],
+        "two_stars_bridge": [(0, i) for i in range(1, 6)]
+        + [(100, 100 + i) for i in range(1, 6)] + [(5, 100)],
+        "random": [
+            (rng.randrange(0, 200), rng.randrange(0, 200)) for _ in range(150)
+        ],
+    }
+    for name, pairs_py in graphs.items():
+        pairs_py = [(a, b) for a, b in pairs_py if a != b] or [(0, 1)]
+        pairs = spark.createDataFrame(pairs_py, "id_a long, id_b long")
+        stats: dict = {}
+        star = {
+            (r.node, r.component_id)
+            for r in dd.connected_components_star(pairs, stats=stats).collect()
+        }
+        ml = {
+            (r.node, r.component_id)
+            for r in dd.connected_components(pairs, max_iter=100).collect()
+        }
+        assert star == ml, f"{name}: star labels diverge from min-label"
+        if name == "chain60":
+            assert stats["rounds"] <= 8, (
+                f"chain60 (diameter 60) took {stats['rounds']} star rounds — "
+                "should contract in O(log n)"
+            )
+
+
 def test_exact_dedup_idempotent(spark, docs):
     dup = docs.unionByName(docs)  # every doc duplicated
     out = dd.exact_dedup(dup).toPandas()
