@@ -772,6 +772,133 @@ def run_thread_worker(cpus: int) -> dict:
             "turns_per_sec": round(SCALE_TURNS / best, 1)}
 
 
+def run_sched_worker(mode: str, cpus: int) -> dict:
+    """One scheduler mode of the figure-15 analogue: a heavy W1-style
+    query (deep arithmetic projection → grouped agg) loops while a cheap
+    W2-style reduction is submitted repeatedly from a second thread;
+    measures the cheap query's latency under contention."""
+    import statistics
+    import threading
+    import pyspark.sql.functions as F
+    from saber_spark.session import get_spark
+    from saber_spark.operators.projection import deep_arithmetic
+
+    spark = get_spark(app_name=f"saber_sched_{mode}", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8),
+                      extra={"spark.scheduler.mode": mode})
+    stage_trigger_input(spark)
+    stage_scale_input(spark)
+    # heavy: 64M turns, md5-per-row + depth-100 arithmetic (deeper trees
+    # overflow the analyzer stack), 500k-group shuffle — long stages whose
+    # queued tasks are what FIFO makes the light query wait behind;
+    # light: one cheap reduction over the separate 2M table
+    # 512-way repartition makes the expensive stage MANY SHORT tasks:
+    # under FIFO a concurrent query queues behind the whole remaining
+    # stage; under FAIR it only waits for the next free slot — the
+    # policy difference is visible exactly when stage-queue depth >>
+    # task duration (which is also the realistic cluster regime)
+    big = spark.read.parquet(SCALE_INPUT).repartition(512)
+    per_row_cost = F.length(F.md5(F.col("text"))).cast("double")
+    heavy_df = (
+        big.select("conv_id",
+                   deep_arithmetic(per_row_cost, depth=100).alias("proj"))
+        .groupBy("conv_id").agg(F.sum("proj").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    t = spark.read.parquet(TRIGGER_BASE)
+    light_df = t.select((F.length("text") * 2 + 1).alias("p")).agg(F.sum("p"))
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    materialize(heavy_df)  # warm: scan + codegen for both shapes
+    materialize(light_df)
+    t_solo0 = time.perf_counter()
+    materialize(light_df)
+    light_solo = round(time.perf_counter() - t_solo0, 3)
+
+    stop = threading.Event()
+    heavy_runs = []
+
+    def heavy_loop():
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "heavy")
+        while not stop.is_set():
+            h0 = time.perf_counter()
+            materialize(heavy_df)
+            heavy_runs.append(round(time.perf_counter() - h0, 3))
+
+    th = threading.Thread(target=heavy_loop, daemon=True)
+    th.start()
+    time.sleep(1.0)  # let the heavy job occupy the cluster first
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "light")
+    light_lat = []
+    for _ in range(8):
+        l0 = time.perf_counter()
+        materialize(light_df)
+        light_lat.append(round(time.perf_counter() - l0, 3))
+    stop.set()
+    th.join(timeout=300)
+    return {
+        "mode": mode,
+        "scheduler_mode_active": spark.conf.get("spark.scheduler.mode", "FIFO"),
+        "cpus": cpus,
+        "light_solo_sec": light_solo,
+        "light_under_contention": {
+            "mean": round(statistics.mean(light_lat), 3),
+            "p95": round(sorted(light_lat)[int(0.95 * len(light_lat)) - 1], 3),
+            "runs": light_lat,
+        },
+        "heavy_runs": heavy_runs,
+    }
+
+
+def run_sched_bench(cpus: int = 32) -> None:
+    """Reference figure-15 analogue (FCFS 259 vs HLS 1249 on W1 —
+    BASELINE.md fig 15): Saber needs a custom scheduling policy (HLS)
+    because it hand-places tasks on heterogeneous processors; on Spark,
+    scheduling policy is one declarative knob. FIFO starves a cheap
+    concurrent query behind a heavy one's stages; FAIR pools restore its
+    latency without touching query code. Fresh JVM per mode; writes
+    BENCH/SCHEDULING.md."""
+    results = []
+    for mode in ("FIFO", "FAIR"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SABER_SCHED_MODE=mode)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--sched-worker"],
+            env=env, capture_output=True, text=True, check=True, cwd=REPO)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "SCHEDULING.md")
+    with open(path, "w") as f:
+        f.write(
+            "# Scheduling-policy comparison (reference figure-15 analogue)\n\n"
+            "Saber's HLS exists because its runtime hand-schedules tasks on\n"
+            "heterogeneous processors (TaskQueue.java:74-140; fig 15: FCFS 259\n"
+            "vs HLS 1249 on W1). Spark owns task placement, so the analogue\n"
+            "is the scheduler-mode knob: a W1-style heavy query (depth-100\n"
+            "arithmetic projection → grouped agg over 2M turns) loops on one\n"
+            "thread while a W2-style cheap reduction is submitted from\n"
+            f"another, local[{cpus}], fresh JVM per mode.\n\n"
+            "| mode | cheap solo s | cheap mean s (contended) | cheap p95 s | heavy runs s |\n"
+            "|---|---|---|---|---|\n")
+        for r in results:
+            lc = r["light_under_contention"]
+            f.write(f"| {r['mode']} | {r['light_solo_sec']} | {lc['mean']} "
+                    f"| {lc['p95']} | {r['heavy_runs']} |\n")
+        f.write(
+            "\nRaw cheap-query latencies per mode:\n\n```json\n"
+            + json.dumps({r["mode"]: r["light_under_contention"]["runs"]
+                          for r in results}, indent=2)
+            + "\n```\n\n"
+            "Reading: under FIFO the cheap query's tasks queue behind the\n"
+            "heavy query's current stage; FAIR (two on-demand pools, no\n"
+            "allocation file) interleaves task slots, pulling the cheap\n"
+            "query's latency back toward its solo time. The policy is a\n"
+            "config line — the capability Saber needed a bespoke scheduler\n"
+            "for (SURVEY.md §3.3 maps HLS to 'Spark scheduler + AQE').\n")
+    print(json.dumps({"results": results, "written": path}))
+
+
 def run_regressed_recheck(sf_dir: str, cpus: int = 32, rounds: int = 3) -> None:
     """VERDICT r2 item 9: cm1_pane_fanout (+35%) and
     cm1_grouped_sliding_agg (+18%) regressed r1→r2 with no code change —
@@ -852,6 +979,10 @@ if __name__ == "__main__":
                     help="figure-14-style CPU scalability -> BENCH/THREADS.md")
     ap.add_argument("--thread-worker", action="store_true",
                     help="internal: one thread level of the thread sweep")
+    ap.add_argument("--sched-bench", action="store_true",
+                    help="figure-15-style FIFO-vs-FAIR comparison -> BENCH/SCHEDULING.md")
+    ap.add_argument("--sched-worker", action="store_true",
+                    help="internal: one scheduler mode (env SABER_SCHED_MODE)")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                        "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int,
@@ -863,6 +994,11 @@ if __name__ == "__main__":
         print(json.dumps(run_thread_worker(args.cpus)))
     elif args.thread_sweep:
         run_thread_sweep()
+    elif args.sched_worker:
+        print(json.dumps(run_sched_worker(
+            os.environ.get("SABER_SCHED_MODE", "FIFO"), args.cpus)))
+    elif args.sched_bench:
+        run_sched_bench(args.cpus)
     elif args.trigger_sweep:
         run_trigger_sweep(args.cpus)
     elif args.rerun_regressed:
