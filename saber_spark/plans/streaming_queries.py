@@ -188,14 +188,17 @@ def row_window_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete(spark, out, "row_window_sliding_streamed_mem")
 
 
-# YSB through the EXACTLY-ONCE SINK, end to end: stream -> windowed agg
-# (append mode, 0 s watermark) -> ExactlyOnceParquetSink (per-batch
-# overwrite + atomic commit marker, per-record latency percentiles) ->
-# read_committed(). The driver value-checks what a downstream consumer
-# would actually read back from committed batches — the north_rule sink
-# itself, not a memory-sink stand-in. Append mode emits exactly the
-# windows whose end <= final watermark (= max assistant ts at 0 s delay),
-# which the oracle reproduces with a scalar subquery.
+# YSB through the EXACTLY-ONCE ICEBERG SINK, end to end: stream ->
+# windowed agg (append mode, 0 s watermark) -> ExactlyOnceIcebergSink
+# (one Iceberg snapshot per micro-batch on the from-scratch table format
+# in sources/iceberg_format.py: optimistic metadata commit, idempotent
+# commit-tags, per-record latency percentiles in snapshot summaries) ->
+# snapshot-isolated scan. The driver value-checks what a downstream
+# consumer would actually read back from committed snapshots — the
+# north_rule's "exactly-once idempotent Iceberg sink" itself, not a
+# memory-sink stand-in. Append mode emits exactly the windows whose
+# end <= final watermark (= max assistant ts at 0 s delay), which the
+# oracle reproduces with a scalar subquery.
 _YSB_SUNK_ORACLE = with_transcripts_oracle("""
 , a AS (SELECT ts, length(text) AS tl FROM transcripts WHERE role = 'assistant'),
 wm AS (SELECT max(epoch(ts)) AS w FROM a),
@@ -213,17 +216,20 @@ SELECT * FROM agg WHERE window_end <= (SELECT w FROM wm)
 
 @register("ysb_windowed_agg_sunk", _YSB_SUNK_ORACLE)
 def ysb_windowed_agg_sunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The YSB flagship executed as a stream INTO the exactly-once sink
-    (streaming/sink.py), result read back from committed batches only —
-    driver-verifies the full produce->commit->consume path the north_rule
-    names as a first-class deliverable (reference analogue: result
-    re-dispatch, ResultAggregator.java:164-209, which persists nothing;
-    the sink is new engineering on Spark primitives)."""
-    from saber_spark.streaming.sink import ExactlyOnceParquetSink
+    """The YSB flagship executed as a stream INTO the exactly-once
+    Iceberg sink (streaming/iceberg_sink.py over the from-scratch table
+    format in sources/iceberg_format.py), result read back via a
+    snapshot-isolated scan of committed snapshots only — driver-verifies
+    the full produce->commit->consume path the north_rule names as a
+    first-class deliverable (reference analogue: result re-dispatch,
+    ResultAggregator.java:164-209, which persists nothing; the
+    table-format sink is new engineering on Spark primitives)."""
+    from saber_spark.sources.iceberg_format import IcebergTable
+    from saber_spark.streaming.iceberg_sink import ExactlyOnceIcebergSink
 
     path = _stage_chunks(spark, sf_dir, "ysbsunk")
-    out_dir = os.path.join(_TMP, "driver_stream", "sunk_out")
-    ckpt = os.path.join(_TMP, "driver_stream", "ckpt_sunk")
+    out_dir = os.path.join(_TMP, "driver_stream", "sunk_ice_table")
+    ckpt = os.path.join(_TMP, "driver_stream", "ckpt_sunk_ice")
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = read_transcript_stream(
@@ -239,7 +245,14 @@ def ysb_windowed_agg_sunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         watermark="0 seconds",
     )
-    sink = ExactlyOnceParquetSink(out_dir, ckpt, event_ts_col="window_end")
+    # unpartitioned + coalesce(1): a windowed aggregate emits a few
+    # thousand rows per batch, so one data file per snapshot is the
+    # right Iceberg write shape (partition pruning is exercised by
+    # tests/test_iceberg_format.py on a partitioned table)
+    table = IcebergTable.create(out_dir, agg)
+    sink = ExactlyOnceIcebergSink(
+        table, ckpt, "ysb_ice_driver", event_ts_col="window_end", coalesce=1
+    )
     q = sink.start(agg, output_mode="append")
     q.processAllAvailable()
     q.stop()

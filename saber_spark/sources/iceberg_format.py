@@ -1,0 +1,938 @@
+"""From-scratch implementation of the Apache Iceberg table format (spec v2
+semantics) in pure Python over parquet data files.
+
+The north_rule targets "Iceberg tables of multi-turn transcripts" with an
+"exactly-once idempotent Iceberg sink". The sandbox image has no Iceberg
+runtime jars (``sources/iceberg.py`` carries the gated real-connector
+config), so this module implements the table *format* itself from the
+public spec (https://iceberg.apache.org/spec/) rather than stubbing it:
+
+- **Metadata model**: ``metadata/v{N}.metadata.json`` files holding
+  table-uuid, schemas (field-id based), partition specs (identity /
+  hour / day / truncate / bucket transforms), the snapshot list, and a
+  snapshot-log for timestamp time-travel — the same shape as the spec's
+  TableMetadata.
+- **Commit protocol**: the Hadoop-catalog optimistic protocol
+  (HadoopTableOperations in the reference implementation): a writer
+  renders v{N+1}.metadata.json to a temp file and publishes it with an
+  atomic create-if-absent (``os.link``); losing a race raises
+  ``CommitConflict`` and the commit loop re-reads the new base and
+  re-applies — appends always merge cleanly because their manifests are
+  already on disk. ``version-hint.text`` is then swapped atomically.
+- **Snapshots → manifest list → manifests → data files**, with
+  per-file record counts and per-column lower/upper bounds harvested
+  from the parquet footers (pyarrow), used for scan-time file pruning.
+- **Honest deviation**: the spec serializes manifests as Avro; no Avro
+  library exists in this sandbox, so manifest lists and manifests are
+  JSON documents carrying the same fields. ``bucket[N]`` uses a
+  md5-based portable hash rather than the spec's murmur3 (documented —
+  no interop target exists here to murmur-match). Everything else
+  (field-id schemas, sequence numbers, snapshot summaries, atomic
+  version swap, snapshot isolation, incremental scans) follows the spec.
+
+Readers are snapshot-isolated: a scan pins one snapshot's file list, so
+concurrent appends never tear a read. Crash-before-commit leaves orphan
+data files that no snapshot references (invisible to every reader);
+``remove_orphan_files`` reclaims them — both exactly Iceberg's behavior.
+
+Reference analogue: Saber has no persistent store at all (results are
+byte-counted and re-dispatched, ResultAggregator.java:164-209); this
+layer is new engineering mandated by the north_rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CommitConflict(Exception):
+    """Another writer published the metadata version this commit targeted."""
+
+
+class ValidationFailed(Exception):
+    """A copy-on-write commit found its pinned input files already
+    rewritten/removed by a concurrent commit (spec: validation exception;
+    the caller must re-plan against the new snapshot, not blind-retry)."""
+
+
+class AlreadyCommitted(Exception):
+    """Idempotent re-drive: the commit tag is already in table history."""
+
+
+# -- schema (field-id based, spec §Schemas) --------------------------------
+
+_SPARK_TO_ICEBERG = {
+    "string": "string",
+    "int": "int",
+    "integer": "int",
+    "bigint": "long",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def _schema_from_spark(schema) -> list[dict]:
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        simple = f.dataType.simpleString()
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _SPARK_TO_ICEBERG.get(simple, simple),
+                # faithful round-trip for types outside the mapping table
+                # (decimal(p,s), array<...>): keep the Spark simpleString
+                "spark_type": simple,
+            }
+        )
+    return fields
+
+
+def _spark_ddl(fields: list[dict]) -> str:
+    inv = {"int": "int", "long": "bigint", "timestamp": "timestamp"}
+    parts = []
+    for f in fields:
+        t = f.get("spark_type") or inv.get(f["type"], f["type"])
+        parts.append(f"`{f['name']}` {t}")
+    return ", ".join(parts)
+
+
+# -- partition transforms (spec §Partition Transforms) ----------------------
+
+
+def _transform_expr(transform: str, col: str):
+    """Partition transform → Catalyst Column (computed once at write)."""
+    if transform == "identity":
+        return F.col(col).cast("string")
+    if transform == "hour":
+        return F.floor(F.col(col).cast("timestamp").cast("long") / 3600).cast(
+            "string"
+        )
+    if transform == "day":
+        return F.floor(F.col(col).cast("timestamp").cast("long") / 86400).cast(
+            "string"
+        )
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        return F.substring(F.col(col).cast("string"), 1, w)
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket[") : -1])
+        # spec uses murmur3_32; md5 here is the same portable-hash
+        # construction the rest of the engine standardizes on (no
+        # murmur-interop target exists in this sandbox)
+        return (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % n
+        ).cast("string")
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+# -- parquet footer stats ----------------------------------------------------
+
+
+def _file_stats(path: str) -> dict:
+    """record_count + per-column lower/upper bounds from the footer —
+    what Iceberg manifests carry per data file (spec §Manifests)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
+    lower: dict = {}
+    upper: dict = {}
+    nulls: dict = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested: skip bounds, spec allows partial stats
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            if not isinstance(mn, (str, int, float, bool)):
+                continue
+            lower[name] = mn if name not in lower else min(lower[name], mn)
+            upper[name] = mx if name not in upper else max(upper[name], mx)
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return {
+        "record_count": meta.num_rows,
+        "file_size_in_bytes": os.path.getsize(path),
+        "lower_bounds": lower,
+        "upper_bounds": upper,
+        "null_value_counts": nulls,
+    }
+
+
+# -- the table ----------------------------------------------------------------
+
+
+class IcebergTable:
+    """Handle on one table rooted at a filesystem ``location``."""
+
+    def __init__(self, location: str) -> None:
+        self.location = location
+        self.meta_dir = os.path.join(location, "metadata")
+        self.data_dir = os.path.join(location, "data")
+
+    # -- create / load --------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        location: str,
+        schema,
+        partition_by: list[tuple[str, str]] | None = None,
+        properties: dict | None = None,
+    ) -> "IcebergTable":
+        """``schema``: a Spark StructType (or a DataFrame, whose schema is
+        taken). ``partition_by``: [(source_column, transform)] with
+        transform ∈ identity|hour|day|truncate[w]|bucket[n]."""
+        if isinstance(schema, DataFrame):
+            schema = schema.schema
+        t = cls(location)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        fields = _schema_from_spark(schema)
+        by_name = {f["name"]: f["id"] for f in fields}
+        # spec default naming: identity fields keep the source column name;
+        # other transforms append the transform name (HOUR -> ts_hour etc.)
+        spec = [
+            {
+                "name": col if tr == "identity" else f"{col}_{tr.split('[')[0]}",
+                "source-id": by_name[col],
+                "source-name": col,
+                "transform": tr,
+                "field-id": 1000 + i,
+            }
+            for i, (col, tr) in enumerate(partition_by or [])
+        ]
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": len(fields),
+            "current-schema-id": 0,
+            "schemas": [{"schema-id": 0, "fields": fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec}],
+            "last-partition-id": 999 + len(spec),
+            "properties": properties or {},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+        }
+        t._publish_version(meta, expected_version=0)
+        return t
+
+    @classmethod
+    def load(cls, location: str) -> "IcebergTable":
+        t = cls(location)
+        t._read_metadata()  # raises if absent
+        return t
+
+    # -- metadata io -----------------------------------------------------------
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.meta_dir, f"v{v}.metadata.json")
+
+    def _current_version(self) -> int:
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        try:
+            with open(hint) as f:
+                v = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            v = 0
+        # the hint is advisory (spec: may lag after a crash between the
+        # version publish and the hint swap) — roll forward to the latest
+        # published version
+        while os.path.exists(self._version_path(v + 1)):
+            v += 1
+        if v == 0:
+            raise FileNotFoundError(f"no Iceberg table at {self.location}")
+        return v
+
+    def _read_metadata(self) -> dict:
+        v = self._current_version()
+        with open(self._version_path(v)) as f:
+            meta = json.load(f)
+        meta["__version"] = v
+        return meta
+
+    def _publish_version(self, meta: dict, expected_version: int) -> None:
+        """Atomic optimistic publish of v{expected+1} (Hadoop-catalog
+        protocol): create-if-absent via os.link, then swap the hint."""
+        meta = {k: v for k, v in meta.items() if not k.startswith("__")}
+        new_v = expected_version + 1
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        try:
+            os.link(tmp, self._version_path(new_v))  # atomic, fails if exists
+        except FileExistsError:
+            raise CommitConflict(
+                f"metadata v{new_v} already published by another writer"
+            )
+        finally:
+            os.unlink(tmp)
+        hint_tmp = os.path.join(self.meta_dir, f".hint-{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.text"))
+
+    def _commit(self, build_fn, retries: int = 10) -> dict:
+        """Optimistic-concurrency commit loop: build new metadata against
+        the freshest base; on CommitConflict, refresh and re-apply."""
+        for _ in range(retries):
+            base = self._read_metadata()
+            new = build_fn(base)
+            try:
+                self._publish_version(new, base["__version"])
+                return new
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {retries} retries")
+
+    # -- write path --------------------------------------------------------------
+
+    def _partition_fields(self, meta: dict) -> list[dict]:
+        spec_id = meta["default-spec-id"]
+        return next(
+            s["fields"] for s in meta["partition-specs"] if s["spec-id"] == spec_id
+        )
+
+    def _write_data_files(self, df: DataFrame, meta: dict) -> list[dict]:
+        """Write df as parquet data files partitioned by the table's
+        transform columns; return manifest data_file entries with stats.
+
+        Data files keep ALL source columns (Iceberg semantics: partition
+        values live in metadata, not carved out of the file), so the
+        derived transform columns are written under ``__p_*`` directory
+        names and recorded per file, never stored inside the files.
+        """
+        spec = self._partition_fields(meta)
+        stage = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
+        writer = df
+        pcols = []
+        for pf_ in spec:
+            pcol = f"__p_{pf_['name']}"
+            writer = writer.withColumn(
+                pcol, _transform_expr(pf_["transform"], pf_["source-name"])
+            )
+            pcols.append(pcol)
+        if pcols:
+            writer.write.partitionBy(*pcols).parquet(stage)
+        else:
+            writer.write.parquet(stage)
+        entries = []
+        for root, _dirs, files in os.walk(stage):
+            part_vals = {}
+            rel = os.path.relpath(root, stage)
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, val = seg.partition("=")
+                    part_vals[k.removeprefix("__p_")] = val
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fn)
+                dst_name = f"{uuid.uuid4().hex}.parquet"
+                if rel != ".":
+                    dst_dir = os.path.join(self.data_dir, rel.replace("__p_", ""))
+                else:
+                    dst_dir = self.data_dir
+                os.makedirs(dst_dir, exist_ok=True)
+                dst = os.path.join(dst_dir, dst_name)
+                os.rename(src, dst)
+                entries.append(
+                    {
+                        "content": 0,  # data (spec v2: 0=data, 1/2=deletes)
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": part_vals,
+                        **_file_stats(dst),
+                    }
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
+
+    def _snapshot_commit(
+        self,
+        data_files: list[dict],
+        operation: str,
+        summary_extra: dict | None,
+    ) -> dict:
+        """Write the manifest + manifest list, then run the commit loop.
+        The manifest files are immutable and written once; only the
+        metadata json is rebuilt on a conflict retry."""
+        snap_id = uuid.uuid4().int >> 75  # 53-bit, JSON-exact
+        manifest_path = os.path.join(
+            self.meta_dir, f"{uuid.uuid4().hex}-m0.manifest.json"
+        )
+        with open(manifest_path, "w") as f:
+            json.dump(
+                [
+                    {"status": 1, "snapshot_id": snap_id, "data_file": d}
+                    for d in data_files
+                ],
+                f,
+            )
+        mlist_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}.manifest-list.json"
+        )
+
+        def build(base: dict) -> dict:
+            tag = (summary_extra or {}).get("saber.commit-tag")
+            if tag and any(
+                s["summary"].get("saber.commit-tag") == tag
+                for s in base["snapshots"]
+            ):
+                raise AlreadyCommitted(tag)
+            seq = base["last-sequence-number"] + 1
+            parent = base["current-snapshot-id"]
+            now_ms = int(time.time() * 1000)
+            if operation == "overwrite":
+                manifests = [mlist_entry(manifest_path, snap_id, data_files)]
+            else:  # append: carry every live manifest forward
+                manifests = self._manifest_list(base) + [
+                    mlist_entry(manifest_path, snap_id, data_files)
+                ]
+            with open(mlist_path, "w") as f:
+                json.dump(manifests, f)
+            snap = {
+                "snapshot-id": snap_id,
+                "parent-snapshot-id": parent if parent != -1 else None,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": mlist_path,
+                "schema-id": base["current-schema-id"],
+                "summary": {
+                    "operation": operation,
+                    "added-data-files": str(len(data_files)),
+                    "added-records": str(
+                        sum(d["record_count"] for d in data_files)
+                    ),
+                    **(summary_extra or {}),
+                },
+            }
+            new = dict(base)
+            new["snapshots"] = base["snapshots"] + [snap]
+            new["snapshot-log"] = base["snapshot-log"] + [
+                {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+            ]
+            new["current-snapshot-id"] = snap_id
+            new["last-sequence-number"] = seq
+            new["last-updated-ms"] = now_ms
+            return new
+
+        def mlist_entry(path: str, sid: int, dfs: list[dict]) -> dict:
+            return {
+                "manifest_path": path,
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": sid,
+                "added_files_count": len(dfs),
+                "added_rows_count": sum(d["record_count"] for d in dfs),
+            }
+
+        return self._commit(build)
+
+    def append(self, df: DataFrame, summary_extra: dict | None = None) -> dict:
+        """Commit ``df``'s rows as a new append snapshot; returns the new
+        table metadata. Conflict-safe: concurrent appends both land."""
+        meta = self._read_metadata()
+        files = self._write_data_files(df, meta)
+        return self._snapshot_commit(files, "append", summary_extra)
+
+    def overwrite(self, df: DataFrame, summary_extra: dict | None = None) -> dict:
+        """Replace the table's data with ``df`` in one atomic snapshot
+        (previous snapshots stay time-travelable)."""
+        meta = self._read_metadata()
+        files = self._write_data_files(df, meta)
+        return self._snapshot_commit(files, "overwrite", summary_extra)
+
+    # -- copy-on-write row-level operations (spec §Row-level deletes; this
+    # implementation takes the copy-on-write path Iceberg v1 engines use:
+    # affected data files are rewritten without the target rows and swapped
+    # atomically in one snapshot — readers never see a torn state) ---------
+
+    def _live_files(self, meta: dict) -> dict[str, dict]:
+        """path -> data_file for every live file of the CURRENT snapshot
+        of ``meta`` (recomputed inside commit retries so concurrent
+        appends are carried forward, not lost)."""
+        live: dict[str, dict] = {}
+        for m in self._manifest_list(meta):
+            with open(m["manifest_path"]) as f:
+                for entry in json.load(f):
+                    if entry["status"] != 2:
+                        live[entry["data_file"]["file_path"]] = entry["data_file"]
+        return live
+
+    def _rewrite_commit(
+        self,
+        new_files: list[dict],
+        removed_paths: set[str],
+        operation: str,
+        summary_extra: dict | None = None,
+    ) -> dict:
+        """Commit that replaces ``removed_paths`` with ``new_files`` and
+        carries every other live file forward. Concurrent appends merge
+        cleanly (carried set is recomputed against the fresh base each
+        retry); a concurrent rewrite of one of OUR input files raises
+        ``ValidationFailed`` — the rows we rewrote were derived from a
+        file that no longer speaks for the table."""
+        snap_id = uuid.uuid4().int >> 75
+
+        def build(base: dict) -> dict:
+            live = self._live_files(base)
+            missing = removed_paths - set(live)
+            if missing:
+                raise ValidationFailed(
+                    f"input files rewritten/removed concurrently: {sorted(missing)[:3]}"
+                )
+            carried = [
+                d for p, d in live.items() if p not in removed_paths
+            ]
+            manifest_path = os.path.join(
+                self.meta_dir, f"{uuid.uuid4().hex}-m0.manifest.json"
+            )
+            with open(manifest_path, "w") as f:
+                json.dump(
+                    [
+                        {"status": 0, "snapshot_id": snap_id, "data_file": d}
+                        for d in carried
+                    ]
+                    + [
+                        {"status": 1, "snapshot_id": snap_id, "data_file": d}
+                        for d in new_files
+                    ],
+                    f,
+                )
+            mlist_path = os.path.join(
+                self.meta_dir, f"snap-{snap_id}.manifest-list.json"
+            )
+            all_files = carried + new_files
+            with open(mlist_path, "w") as f:
+                json.dump(
+                    [
+                        {
+                            "manifest_path": manifest_path,
+                            "manifest_length": os.path.getsize(manifest_path),
+                            "partition_spec_id": 0,
+                            "added_snapshot_id": snap_id,
+                            "added_files_count": len(new_files),
+                            "added_rows_count": sum(
+                                d["record_count"] for d in new_files
+                            ),
+                        }
+                    ],
+                    f,
+                )
+            now_ms = int(time.time() * 1000)
+            seq = base["last-sequence-number"] + 1
+            parent = base["current-snapshot-id"]
+            snap = {
+                "snapshot-id": snap_id,
+                "parent-snapshot-id": parent if parent != -1 else None,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": mlist_path,
+                "schema-id": base["current-schema-id"],
+                "summary": {
+                    "operation": operation,
+                    "added-data-files": str(len(new_files)),
+                    "added-records": str(
+                        sum(d["record_count"] for d in new_files)
+                    ),
+                    "deleted-data-files": str(len(removed_paths)),
+                    "deleted-records": str(
+                        sum(
+                            live[p]["record_count"] for p in removed_paths
+                        )
+                    ),
+                    "total-records": str(
+                        sum(d["record_count"] for d in all_files)
+                    ),
+                    **(summary_extra or {}),
+                },
+            }
+            new = dict(base)
+            new["snapshots"] = base["snapshots"] + [snap]
+            new["snapshot-log"] = base["snapshot-log"] + [
+                {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+            ]
+            new["current-snapshot-id"] = snap_id
+            new["last-sequence-number"] = seq
+            new["last-updated-ms"] = now_ms
+            return new
+
+        return self._commit(build)
+
+    def _read_paths(self, spark: SparkSession, meta: dict, paths: list[str]) -> DataFrame:
+        ddl = _spark_ddl(
+            next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+        )
+        if not paths:
+            return spark.createDataFrame([], ddl)
+        return spark.read.schema(ddl).parquet(*paths)
+
+    def delete_where(self, spark: SparkSession, filters: list[tuple]) -> dict:
+        """``DELETE FROM t WHERE <conj>`` by copy-on-write: only files
+        whose partition values / column bounds ADMIT a match are
+        rewritten (same pruning as ``scan``); every other file is carried
+        untouched — at 100 TB a targeted delete touches a handful of
+        files, not the table. Rows where the predicate is NULL are kept
+        (SQL DELETE semantics)."""
+        meta = self._read_metadata()
+        affected = self.files(filters=filters)
+        if not affected:
+            return meta
+        paths = {d["file_path"] for d in affected}
+        pred = None
+        for col, op, val in filters:
+            ops = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+            lit = json.dumps(val) if isinstance(val, str) else val
+            c = F.expr(f"`{col}` {ops[op]} {lit}")
+            pred = c if pred is None else (pred & c)
+        keep = self._read_paths(spark, meta, sorted(paths)).where(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        new_files = self._write_data_files(keep, meta)
+        return self._rewrite_commit(new_files, paths, "delete")
+
+    def merge_into(
+        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
+    ) -> dict:
+        """``MERGE INTO t USING source ON keys WHEN MATCHED THEN UPDATE
+        WHEN NOT MATCHED THEN INSERT`` (full-row upsert), copy-on-write:
+        files whose bounds on ``key_cols[0]`` cannot contain any source
+        key are carried untouched; affected files are rewritten as
+        (target ANTI JOIN source) ∪ source. One atomic snapshot."""
+        meta = self._read_metadata()
+        cols = [
+            f["name"]
+            for f in next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+        ]
+        source = source.select(*cols)
+        k0 = key_cols[0]
+        bounds = source.agg(
+            F.min(k0).alias("lo"), F.max(k0).alias("hi")
+        ).collect()[0]
+        live = list(self._live_files(meta).values())
+        affected, carried_n = [], 0
+        for d in live:
+            lo, hi = d["lower_bounds"].get(k0), d["upper_bounds"].get(k0)
+            if (
+                lo is not None
+                and hi is not None
+                and bounds["lo"] is not None
+                and type(lo) is type(bounds["lo"])
+                and (hi < bounds["lo"] or lo > bounds["hi"])
+            ):
+                carried_n += 1
+                continue
+            affected.append(d["file_path"])
+        target = self._read_paths(spark, meta, sorted(affected))
+        survivors = target.join(source, on=key_cols, how="left_anti").select(*cols)
+        new_files = self._write_data_files(survivors.unionByName(source), meta)
+        return self._rewrite_commit(new_files, set(affected), "overwrite")
+
+    def rewrite_data_files(
+        self,
+        spark: SparkSession,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+        min_input_files: int = 2,
+    ) -> dict | None:
+        """Bin-pack compaction (the RewriteDataFiles maintenance action):
+        coalesce files smaller than half the target into
+        ⌈total/target⌉-file rewrites, committed as a ``replace``
+        snapshot — row content is untouched (incremental consumers skip
+        non-append snapshots, so compaction never re-emits rows). This is
+        the antidote to streaming sinks accreting one small file per
+        micro-batch. Returns None if there is nothing worth compacting."""
+        meta = self._read_metadata()
+        small = [
+            d
+            for d in self._live_files(meta).values()
+            if d["file_size_in_bytes"] < target_file_size_bytes // 2
+        ]
+        if len(small) < min_input_files:
+            return None
+        total = sum(d["file_size_in_bytes"] for d in small)
+        n_out = max(1, -(-total // target_file_size_bytes))
+        df = self._read_paths(
+            spark, meta, sorted(d["file_path"] for d in small)
+        ).repartition(n_out)
+        new_files = self._write_data_files(df, meta)
+        return self._rewrite_commit(
+            new_files, {d["file_path"] for d in small}, "replace"
+        )
+
+    def add_column(self, name: str, spark_type: str) -> dict:
+        """Schema evolution: add a nullable column (new field id; data
+        files written before it read back as null — parquet schema merge)."""
+
+        def build(base: dict) -> dict:
+            cur = next(
+                s
+                for s in base["schemas"]
+                if s["schema-id"] == base["current-schema-id"]
+            )
+            fid = base["last-column-id"] + 1
+            new_schema = {
+                "schema-id": cur["schema-id"] + 1,
+                "fields": cur["fields"]
+                + [
+                    {
+                        "id": fid,
+                        "name": name,
+                        "required": False,
+                        "type": _SPARK_TO_ICEBERG.get(spark_type, spark_type),
+                        "spark_type": spark_type,
+                    }
+                ],
+            }
+            new = dict(base)
+            new["schemas"] = base["schemas"] + [new_schema]
+            new["current-schema-id"] = new_schema["schema-id"]
+            new["last-column-id"] = fid
+            new["last-updated-ms"] = int(time.time() * 1000)
+            return new
+
+        return self._commit(build)
+
+    # -- read path -----------------------------------------------------------------
+
+    def _snapshot(self, meta: dict, snapshot_id=None, as_of_ms=None) -> dict | None:
+        if snapshot_id is None and as_of_ms is not None:
+            # time travel: last snapshot at or before the timestamp
+            eligible = [
+                e for e in meta["snapshot-log"] if e["timestamp-ms"] <= as_of_ms
+            ]
+            if not eligible:
+                return None
+            snapshot_id = eligible[-1]["snapshot-id"]
+        if snapshot_id is None:
+            snapshot_id = meta["current-snapshot-id"]
+        if snapshot_id == -1:
+            return None
+        return next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id
+        )
+
+    def _manifest_list(self, meta: dict, snap: dict | None = None) -> list[dict]:
+        snap = snap or self._snapshot(meta)
+        if snap is None:
+            return []
+        with open(snap["manifest-list"]) as f:
+            return json.load(f)
+
+    def files(self, snapshot_id=None, as_of_ms=None, filters=None) -> list[dict]:
+        """Live data files of one snapshot, after partition- and
+        column-bound pruning. ``filters``: [(col, op, value)] with op in
+        = < <= > >= — conservative (a file is kept unless its bounds
+        PROVE no row matches), exactly manifest-level pruning."""
+        meta = self._read_metadata()
+        snap = self._snapshot(meta, snapshot_id, as_of_ms)
+        if snap is None:
+            return []
+        spec = {f["source-name"]: f for f in self._partition_fields(meta)}
+        out = []
+        for m in self._manifest_list(meta, snap):
+            with open(m["manifest_path"]) as f:
+                for entry in json.load(f):
+                    if entry["status"] == 2:  # deleted
+                        continue
+                    d = entry["data_file"]
+                    if filters and _pruned(d, filters, spec):
+                        continue
+                    out.append(d)
+        return out
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id=None,
+        as_of_ms=None,
+        filters=None,
+    ) -> DataFrame:
+        """Snapshot-isolated scan: the file list is pinned from one
+        snapshot, so concurrent commits never tear the read."""
+        meta = self._read_metadata()
+        files = self.files(snapshot_id, as_of_ms, filters)
+        ddl = _spark_ddl(
+            next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+        )
+        if not files:
+            return spark.createDataFrame([], ddl)
+        df = spark.read.schema(ddl).parquet(*[d["file_path"] for d in files])
+        if filters:
+            for col, op, val in filters:  # residual row-level filter
+                ops = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+                df = df.where(
+                    F.expr(f"`{col}` {ops[op]} {json.dumps(val)}")
+                    if isinstance(val, str)
+                    else F.expr(f"`{col}` {ops[op]} {val}")
+                )
+        return df
+
+    def incremental(
+        self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id=None
+    ) -> DataFrame:
+        """Rows appended strictly AFTER ``from_snapshot_id`` up to
+        ``to_snapshot_id`` (default current) — the incremental-scan
+        primitive a streaming source consumes snapshot-by-snapshot."""
+        meta = self._read_metadata()
+        from_seq = 0
+        if from_snapshot_id is not None and from_snapshot_id != -1:
+            from_seq = self._snapshot(meta, from_snapshot_id)["sequence-number"]
+        to_snap = self._snapshot(meta, to_snapshot_id)
+        paths = []
+        if to_snap is not None:
+            for s in meta["snapshots"]:
+                if (
+                    from_seq
+                    < s["sequence-number"]
+                    <= to_snap["sequence-number"]
+                    and s["summary"]["operation"] == "append"
+                ):
+                    for m in self._manifest_list(meta, s):
+                        if m["added_snapshot_id"] != s["snapshot-id"]:
+                            continue  # carried-forward manifest, not new rows
+                        with open(m["manifest_path"]) as f:
+                            paths += [
+                                e["data_file"]["file_path"]
+                                for e in json.load(f)
+                                if e["status"] == 1
+                            ]
+        ddl = _spark_ddl(
+            next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+        )
+        if not paths:
+            return spark.createDataFrame([], ddl)
+        return spark.read.schema(ddl).parquet(*paths)
+
+    # -- maintenance / introspection ------------------------------------------------
+
+    def snapshots(self) -> list[dict]:
+        return self._read_metadata()["snapshots"]
+
+    def current_snapshot_id(self) -> int:
+        return self._read_metadata()["current-snapshot-id"]
+
+    def history(self) -> list[dict]:
+        return self._read_metadata()["snapshot-log"]
+
+    def has_commit_tag(self, tag: str) -> bool:
+        return any(
+            s["summary"].get("saber.commit-tag") == tag for s in self.snapshots()
+        )
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data files referenced by NO snapshot (crash-before-commit
+        leftovers). Safe because readers only follow manifests."""
+        meta = self._read_metadata()
+        live = set()
+        for s in meta["snapshots"]:
+            for m in self._manifest_list(meta, s):
+                with open(m["manifest_path"]) as f:
+                    live |= {e["data_file"]["file_path"] for e in json.load(f)}
+        removed = []
+        for root, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                p = os.path.join(root, fn)
+                if fn.endswith(".parquet") and p not in live:
+                    os.unlink(p)
+                    removed.append(p)
+        return removed
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots from metadata
+        (their unshared data files become orphans; run
+        remove_orphan_files to reclaim)."""
+
+        def build(base: dict) -> dict:
+            keep = base["snapshots"][-keep_last:]
+            keep_ids = {s["snapshot-id"] for s in keep}
+            new = dict(base)
+            new["snapshots"] = keep
+            new["snapshot-log"] = [
+                e for e in base["snapshot-log"] if e["snapshot-id"] in keep_ids
+            ]
+            new["last-updated-ms"] = int(time.time() * 1000)
+            return new
+
+        return self._commit(build)
+
+
+def _pruned(data_file: dict, filters, spec: dict) -> bool:
+    """True iff the file PROVABLY contains no matching row (bounds or
+    identity-partition value contradict a conjunct)."""
+    for col, op, val in filters:
+        pf_ = spec.get(col)
+        if pf_ is not None and pf_["transform"] == "identity":
+            pv = data_file["partition"].get(pf_["name"])
+            if pv is not None and op == "=" and pv != str(val):
+                return True
+        lo = data_file["lower_bounds"].get(col)
+        hi = data_file["upper_bounds"].get(col)
+        if lo is None or hi is None:
+            continue
+        if isinstance(val, (int, float)) and isinstance(lo, str):
+            continue  # incomparable, keep
+        try:
+            if op == "=" and (val < lo or val > hi):
+                return True
+            if op in ("<", "<=") and lo > val:
+                return True
+            if op == "<" and lo == val:
+                return True
+            if op in (">", ">=") and hi < val:
+                return True
+            if op == ">" and hi == val:
+                return True
+        except TypeError:
+            continue
+    return False

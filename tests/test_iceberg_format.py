@@ -1,0 +1,416 @@
+"""The from-scratch Iceberg table format (sources/iceberg_format.py) and
+the exactly-once streaming sink on top of it (streaming/iceberg_sink.py):
+commit protocol, optimistic-concurrency retry, snapshot isolation / time
+travel, manifest pruning, incremental scans, schema evolution, orphan
+reclamation, and end-to-end stream → snapshot-per-batch → read-back
+parity with idempotent re-drive.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from saber_spark.sources.iceberg_format import (
+    CommitConflict,
+    IcebergTable,
+)
+from saber_spark.streaming.iceberg_sink import ExactlyOnceIcebergSink
+from saber_spark.plans.saber_queries import transcripts
+from tests.conftest import SF_SMOKE
+
+TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "iceberg"
+)
+
+
+def _fresh(name: str) -> str:
+    path = os.path.join(TMP, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _turns(spark, offset=0):
+    """A deterministic slice of the sf0.001 transcripts (no limit() —
+    its row choice is plan-dependent)."""
+    return (
+        transcripts(spark, SF_SMOKE)
+        .where((F.col("turn_idx") >= offset) & (F.col("turn_idx") < offset + 4))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+def _key_set(df):
+    return {
+        (r["conv_id"], r["turn_idx"])
+        for r in df.select("conv_id", "turn_idx").collect()
+    }
+
+
+# -- table format ------------------------------------------------------------
+
+
+def test_create_append_scan_roundtrip(spark):
+    loc = _fresh("roundtrip")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    back = IcebergTable.load(loc).scan(spark)
+    assert back.count() == src.count()
+    assert _key_set(back) == _key_set(src)
+    # per-turn text equality under stable ordering (the north_rule invariant)
+    a = back.orderBy("conv_id", "turn_idx").select("text").collect()
+    b = src.orderBy("conv_id", "turn_idx").select("text").collect()
+    assert a == b
+
+
+def test_snapshot_isolation_and_time_travel(spark):
+    loc = _fresh("timetravel")
+    first = _turns(spark, offset=0)
+    second = _turns(spark, offset=4)
+    t = IcebergTable.create(loc, first)
+    t.append(first)
+    snap1 = t.current_snapshot_id()
+    ts1 = t.history()[-1]["timestamp-ms"]
+    t.append(second)
+    assert t.scan(spark).count() == first.count() + second.count()
+    # pinned old snapshot still reads exactly the old rows
+    assert _key_set(t.scan(spark, snapshot_id=snap1)) == _key_set(first)
+    # timestamp time travel resolves through the snapshot-log
+    assert t.scan(spark, as_of_ms=ts1).count() == first.count()
+    # lineage: second snapshot's parent is the first
+    snaps = t.snapshots()
+    assert snaps[1]["parent-snapshot-id"] == snaps[0]["snapshot-id"]
+    assert snaps[1]["sequence-number"] == snaps[0]["sequence-number"] + 1
+
+
+def test_commit_conflict_detected_and_retried(spark):
+    loc = _fresh("conflict")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    other = IcebergTable.load(loc)
+
+    # a writer holding a stale base version must NOT be able to publish
+    stale = t._read_metadata()
+    other.append(_turns(spark, offset=4))
+    with pytest.raises(CommitConflict):
+        t._publish_version(stale, stale["__version"])
+
+    # the commit loop absorbs the conflict: interleave a competing commit
+    # into t's first publish attempt, then let the retry land
+    real_publish = IcebergTable._publish_version
+    state = {"raced": False}
+
+    def racy_publish(self, meta, expected_version):
+        if not state["raced"]:
+            state["raced"] = True
+            other.append(_turns(spark, offset=8))  # takes expected_version+1
+        return real_publish(self, meta, expected_version)
+
+    IcebergTable._publish_version = racy_publish
+    try:
+        t.append(_turns(spark, offset=12))
+    finally:
+        IcebergTable._publish_version = real_publish
+    assert state["raced"]
+    # all four appends present — the retried append lost no competitor rows
+    ops = [s["summary"]["operation"] for s in t.snapshots()]
+    assert ops == ["append"] * 4
+    expect = sum(
+        _turns(spark, offset=o).count() for o in (0, 4, 8, 12)
+    )
+    assert t.scan(spark).count() == expect
+
+
+def test_partition_and_bounds_pruning(spark):
+    loc = _fresh("pruning")
+    src = _turns(spark)
+    t = IcebergTable.create(
+        loc, src, partition_by=[("role", "identity"), ("ts", "hour")]
+    )
+    t.append(src)
+    all_files = t.files()
+    user_files = t.files(filters=[("role", "=", "user")])
+    assert 0 < len(user_files) < len(all_files)
+    # identity-partition value is recorded per file
+    assert all(d["partition"]["role"] == "user" for d in user_files)
+    # bounds pruning on a non-partition column: turn_idx ∈ [0, 4)
+    none_left = t.files(filters=[("turn_idx", ">", 1_000_000)])
+    assert none_left == []
+    # pruned scan row-parity with a full-scan filter
+    pruned = t.scan(spark, filters=[("role", "=", "user")])
+    full = t.scan(spark).where(F.col("role") == "user")
+    assert _key_set(pruned) == _key_set(full)
+
+
+def test_incremental_scan_reads_only_new_rows(spark):
+    loc = _fresh("incremental")
+    first = _turns(spark, offset=0)
+    second = _turns(spark, offset=4)
+    t = IcebergTable.create(loc, first)
+    t.append(first)
+    snap1 = t.current_snapshot_id()
+    t.append(second)
+    inc = t.incremental(spark, from_snapshot_id=snap1)
+    assert _key_set(inc) == _key_set(second)
+    # from the beginning (snapshot -1 / None) = everything appended
+    assert t.incremental(spark, from_snapshot_id=-1).count() == (
+        first.count() + second.count()
+    )
+
+
+def test_schema_evolution_add_column(spark):
+    loc = _fresh("evolve")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    t.add_column("quality", "double")
+    back = t.scan(spark)
+    assert "quality" in back.columns
+    # pre-evolution files read the new column as null
+    assert back.where(F.col("quality").isNotNull()).count() == 0
+    meta = t._read_metadata()
+    assert meta["last-column-id"] == len(src.columns) + 1
+    assert meta["current-schema-id"] == 1
+
+
+def test_crash_before_commit_invisible_then_reclaimed(spark):
+    loc = _fresh("orphans")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    n = t.scan(spark).count()
+    # simulate a writer dying after data-file write, before the snapshot
+    # commit: files land in data/ but no manifest references them
+    orphan_entries = t._write_data_files(_turns(spark, offset=4), t._read_metadata())
+    assert len(orphan_entries) > 0
+    assert t.scan(spark).count() == n  # readers never see them
+    removed = t.remove_orphan_files()
+    assert {e["file_path"] for e in orphan_entries} == set(removed)
+    assert t.scan(spark).count() == n
+
+
+def test_overwrite_and_expire_snapshots(spark):
+    loc = _fresh("expire")
+    first = _turns(spark, offset=0)
+    second = _turns(spark, offset=4)
+    t = IcebergTable.create(loc, first)
+    t.append(first)
+    t.overwrite(second)
+    assert _key_set(t.scan(spark)) == _key_set(second)
+    t.expire_snapshots(keep_last=1)
+    assert len(t.snapshots()) == 1
+    removed = t.remove_orphan_files()  # first append's files now orphaned
+    assert len(removed) > 0
+    assert _key_set(t.scan(spark)) == _key_set(second)
+
+
+def test_delete_where_copy_on_write(spark):
+    loc = _fresh("delete")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src, partition_by=[("role", "identity")])
+    t.append(src)
+    n_user = src.where(F.col("role") == "user").count()
+    files_before = {d["file_path"] for d in t.files()}
+    t.delete_where(spark, [("role", "=", "user")])
+    back = t.scan(spark)
+    assert back.where(F.col("role") == "user").count() == 0
+    assert back.count() == src.count() - n_user
+    # copy-on-write touched ONLY files that could contain matches:
+    # non-user partition files are carried byte-identical
+    files_after = {d["file_path"] for d in t.files()}
+    untouched = {
+        d["file_path"]
+        for d in t.files(snapshot_id=t.snapshots()[-2]["snapshot-id"])
+        if d["partition"].get("role") not in (None, "user")
+    }
+    assert untouched <= files_after and untouched <= files_before
+    s = t.snapshots()[-1]["summary"]
+    assert s["operation"] == "delete" and int(s["deleted-records"]) > 0
+    # time travel still reads the pre-delete rows
+    pre = t.scan(spark, snapshot_id=t.snapshots()[-2]["snapshot-id"])
+    assert pre.where(F.col("role") == "user").count() == n_user
+
+
+def test_merge_into_upsert(spark):
+    loc = _fresh("merge")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    # updates: rewrite text of 2 existing turns; inserts: 2 brand-new keys
+    updates = (
+        src.where((F.col("turn_idx") == 0))
+        .withColumn("text", F.lit("REDACTED"))
+    )
+    inserts = src.where(F.col("turn_idx") == 1).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_new"))
+    )
+    n_upd, n_ins = updates.count(), inserts.count()
+    t.merge_into(spark, updates.unionByName(inserts), ["conv_id", "turn_idx"])
+    back = t.scan(spark)
+    assert back.count() == src.count() + n_ins
+    assert back.where(F.col("text") == "REDACTED").count() == n_upd
+    # unmatched rows untouched
+    assert _key_set(back) == _key_set(src) | _key_set(inserts)
+    assert t.snapshots()[-1]["summary"]["operation"] == "overwrite"
+
+
+def test_rewrite_data_files_compaction(spark):
+    loc = _fresh("compact")
+    t = IcebergTable.create(loc, _turns(spark))
+    for off in (0, 4, 8, 12):  # 4 small-file appends, several files each
+        t.append(_turns(spark, offset=off))
+    before = t.files()
+    rows_before = t.scan(spark).count()
+    inc_base = t.current_snapshot_id()
+    assert t.rewrite_data_files(spark, min_input_files=2) is not None
+    after = t.files()
+    assert len(after) < len(before)
+    # content identical, snapshot op is replace, incremental skips it
+    assert t.scan(spark).count() == rows_before
+    assert _key_set(t.scan(spark)) == _key_set(
+        t.scan(spark, snapshot_id=t.snapshots()[-2]["snapshot-id"])
+    )
+    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+    assert t.incremental(spark, from_snapshot_id=inc_base).count() == 0
+    # compacted-away files become orphans after expiry
+    t.expire_snapshots(keep_last=1)
+    assert len(t.remove_orphan_files()) > 0
+    assert t.scan(spark).count() == rows_before
+
+
+def test_rewrite_validation_failure_on_concurrent_rewrite(spark):
+    from saber_spark.sources.iceberg_format import ValidationFailed
+
+    loc = _fresh("validate")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    # two writers plan a copy-on-write over the same input files; the
+    # second to commit must fail validation, not silently resurrect rows
+    other = IcebergTable.load(loc)
+    other.delete_where(spark, [("turn_idx", "=", 0)])
+    with pytest.raises(ValidationFailed):
+        t._rewrite_commit(
+            [], {d["file_path"] for d in t.files(snapshot_id=t.snapshots()[0]["snapshot-id"])}
+            - {d["file_path"] for d in other.files()},
+            "delete",
+        )
+
+
+# -- exactly-once streaming sink ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ice_stream_dir(spark):
+    from tests.test_streaming import _write_ordered_stream
+
+    path = os.path.join(TMP, "stream_src")
+    _write_ordered_stream(spark, path)
+    yield path
+
+
+def _ysb_stream(spark, path):
+    from saber_spark.operators.aggregation import AggSpec
+    from saber_spark.operators.windows import RANGE, WindowDef
+    from saber_spark.streaming.jobs import (
+        read_transcript_stream,
+        streaming_windowed_aggregate,
+    )
+    from tests.test_streaming import _stream_schema
+
+    stream = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    )
+    return streaming_windowed_aggregate(
+        stream.where(F.col("role") == "assistant"),
+        WindowDef(RANGE, 600),
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len")],
+        watermark="0 seconds",
+    )
+
+
+def test_iceberg_sink_end_to_end_exactly_once(spark, ice_stream_dir):
+    loc = _fresh("sink_table")
+    ckpt = _fresh("sink_ckpt")
+    agg = _ysb_stream(spark, ice_stream_dir)
+    table = IcebergTable.create(loc, agg)
+    sink = ExactlyOnceIcebergSink(
+        table, ckpt, "ysb_ice", event_ts_col="window_end"
+    )
+    q = sink.start(agg, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+
+    # parity: committed table == append-mode emission (windows whose end
+    # cleared the final watermark), one snapshot per non-empty batch
+    got = sink.read_committed(spark)
+    lineage = sink.lineage(spark).collect()
+    assert len(lineage) == len(table.snapshots()) > 1
+    assert sum(r["n_rows"] for r in lineage) == got.count() > 0
+    # every batch latency-stamped and chained to its parent
+    assert all(r["p50_ms"] is not None for r in lineage if r["n_rows"])
+    assert all(
+        b["parent_snapshot_id"] == a["snapshot_id"]
+        for a, b in zip(lineage, lineage[1:])
+    )
+
+    # idempotent re-drive: re-running a committed batch adds NO snapshot
+    n_snaps = len(table.snapshots())
+    batch0 = sink.read_committed(spark).limit(5)
+    sink._foreach_batch(batch0, lineage[0]["batch_id"])
+    assert len(table.snapshots()) == n_snaps
+    assert sink.read_committed(spark).count() == got.count()
+
+    # restart with the same checkpoint: no new input → no new snapshots,
+    # no duplicated rows (resume-safe)
+    agg2 = _ysb_stream(spark, ice_stream_dir)
+    q2 = ExactlyOnceIcebergSink(
+        table, ckpt, "ysb_ice", event_ts_col="window_end"
+    ).start(agg2, output_mode="append")
+    q2.processAllAvailable()
+    q2.stop()
+    assert sink.read_committed(spark).count() == got.count()
+
+
+def test_iceberg_sink_matches_batch_oracle(spark, ice_stream_dir):
+    """Value-level parity: the sunk result equals the batch windowed
+    aggregate restricted to windows closed by the final watermark."""
+    from saber_spark.operators.aggregation import AggSpec, windowed_aggregate
+    from saber_spark.operators.windows import RANGE, WindowDef
+
+    loc = _fresh("sink_parity")
+    ckpt = _fresh("sink_parity_ckpt")
+    agg = _ysb_stream(spark, ice_stream_dir)
+    table = IcebergTable.create(loc, agg)
+    sink = ExactlyOnceIcebergSink(table, ckpt, "ysb_ice_parity")
+    q = sink.start(agg, output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+
+    t = transcripts(spark, SF_SMOKE).withColumn(
+        "text_len", F.length("text").cast("long")
+    )
+    assistant = t.where(F.col("role") == "assistant")
+    wm = assistant.agg(
+        F.max(F.col("ts").cast("timestamp").cast("long"))
+    ).collect()[0][0]
+    batch = windowed_aggregate(
+        assistant,
+        WindowDef(RANGE, 600),
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len")],
+    ).where(F.col("window_end") <= wm)
+
+    got = {
+        (r["window_start"], r["window_end"], r["n_turns"], r["sum_len"])
+        for r in sink.read_committed(spark).collect()
+    }
+    want = {
+        (r["window_start"], r["window_end"], r["n_turns"], r["sum_len"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
