@@ -960,6 +960,175 @@ def run_regressed_recheck(sf_dir: str, cpus: int = 32, rounds: int = 3) -> None:
     print(json.dumps({"raw": raw, "written": out}))
 
 
+def run_iceberg_bench(sf_dir: str, cpus: int = 32) -> None:
+    """Cost and payoff of the from-scratch Iceberg layer
+    (sources/iceberg_format.py) at sf_dir scale; writes BENCH/ICEBERG.md.
+
+    Four measurements:
+    1. exactly-once overhead — the YSB streamed aggregate through the
+       ExactlyOnceIcebergSink (snapshot per micro-batch) vs the same
+       stream into the noop sink;
+    2. raw ingest — one batch append of the full transcripts table,
+       rows/s through data-file write + footer-stats harvest + commit;
+    3. compaction — file count and full-scan wall time before/after
+       rewrite_data_files on a table fragmented by small appends;
+    4. partition pruning — files read and scan time for a role-filtered
+       read vs the full scan on a role-partitioned table.
+    """
+    import shutil
+    import pyspark.sql.functions as F
+    from saber_spark.session import get_spark
+    from saber_spark.operators.aggregation import AggSpec
+    from saber_spark.operators.windows import RANGE, WindowDef
+    from saber_spark.plans.saber_queries import transcripts
+    from saber_spark.plans.streaming_queries import _stage_chunks, _stream_schema
+    from saber_spark.sources.iceberg_format import IcebergTable
+    from saber_spark.streaming.iceberg_sink import ExactlyOnceIcebergSink
+    from saber_spark.streaming.jobs import (
+        read_transcript_stream,
+        streaming_windowed_aggregate,
+    )
+
+    spark = get_spark(app_name="saber_iceberg_bench", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    base = os.path.join(REPO, ".tmp", "iceberg_bench")
+    shutil.rmtree(base, ignore_errors=True)
+    turns = transcripts(spark, sf_dir)
+    n_turns = turns.count()
+
+    # 1) streamed YSB agg: noop sink vs exactly-once Iceberg sink
+    path = _stage_chunks(spark, sf_dir, "icebench", n_files=8)
+
+    def ysb_stream():
+        stream = read_transcript_stream(
+            spark, f"{path}/chunk=*", max_files_per_trigger=1,
+            schema=_stream_schema())
+        return streaming_windowed_aggregate(
+            stream.where(F.col("role") == "assistant"),
+            WindowDef(RANGE, 600),
+            [AggSpec("cnt", "*", "n_turns"),
+             AggSpec("sum", "text_len", "sum_len"),
+             AggSpec("avg", "text_len", "avg_len")],
+            watermark="0 seconds")
+
+    def run_noop(i: int) -> float:
+        t0 = time.perf_counter()
+        q = (ysb_stream().writeStream.outputMode("append").format("noop")
+             .option("checkpointLocation", os.path.join(base, f"ck_noop{i}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        sec = time.perf_counter() - t0
+        q.stop()
+        return sec
+
+    def run_ice(i: int):
+        agg = ysb_stream()
+        table = IcebergTable.create(os.path.join(base, f"ysb_table{i}"), agg)
+        sink = ExactlyOnceIcebergSink(
+            table, os.path.join(base, f"ck_ice{i}"), "bench_ysb",
+            event_ts_col="window_end", coalesce=1)
+        t0 = time.perf_counter()
+        q = sink.start(agg, output_mode="append", availableNow=True)
+        q.awaitTermination(600)
+        sec = time.perf_counter() - t0
+        q.stop()
+        return sec, table
+
+    # interleaved best-of-2 (same discipline as BENCH/REGRESSED.md — this
+    # host's noisy neighbours swing single shots by 1.5×)
+    noop_secs, ice_secs = [], []
+    for i in range(2):
+        noop_secs.append(run_noop(i))
+        sec, table = run_ice(i)
+        ice_secs.append(sec)
+    noop_sec, ice_sec = min(noop_secs), min(ice_secs)
+    n_snaps = len(table.snapshots())
+    n_rows_sunk = table.scan(spark).count()
+
+    # 2) raw ingest of the full transcripts table (role-partitioned)
+    raw = IcebergTable.create(
+        os.path.join(base, "raw_table"), turns,
+        partition_by=[("role", "identity")])
+    t0 = time.perf_counter()
+    raw.append(turns)
+    ingest_sec = time.perf_counter() - t0
+    ingest_files = len(raw.files())
+
+    # 4) partition pruning on the raw table (before fragmenting it)
+    t0 = time.perf_counter()
+    full_cnt = raw.scan(spark).count()
+    full_scan_sec = time.perf_counter() - t0
+    pruned_files = raw.files(filters=[("role", "=", "assistant")])
+    t0 = time.perf_counter()
+    pruned_cnt = raw.scan(spark, filters=[("role", "=", "assistant")]).count()
+    pruned_scan_sec = time.perf_counter() - t0
+
+    # 3) fragment with small appends, then compact
+    slice_df = turns.where(F.col("turn_idx") < 2)
+    for _ in range(6):
+        raw.append(slice_df)
+    frag_files = len(raw.files())
+    t0 = time.perf_counter()
+    frag_cnt = raw.scan(spark).count()
+    frag_scan_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    raw.rewrite_data_files(spark, target_file_size_bytes=256 * 1024 * 1024)
+    compact_sec = time.perf_counter() - t0
+    comp_files = len(raw.files())
+    t0 = time.perf_counter()
+    comp_cnt = raw.scan(spark).count()
+    comp_scan_sec = time.perf_counter() - t0
+    assert comp_cnt == frag_cnt, "compaction changed row count"
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out = os.path.join(REPO, "BENCH", "ICEBERG.md")
+    with open(out, "w") as fh:
+        fh.write(
+            "# Iceberg table-format cost/payoff "
+            f"({sf_dir}, local[{cpus}], {n_turns:,} turns)\n\n"
+            "The from-scratch table format (`sources/iceberg_format.py`) and\n"
+            "exactly-once sink (`streaming/iceberg_sink.py`) measured on the\n"
+            "same input the headline bench uses.\n\n"
+            "## 1. Exactly-once sink overhead (streamed YSB aggregate)\n\n"
+            "Interleaved best-of-2 (single shots swing 1.5× on this host —\n"
+            "see BENCH/REGRESSED.md); raw rounds: "
+            f"noop {[round(s, 1) for s in noop_secs]}, "
+            f"iceberg {[round(s, 1) for s in ice_secs]}.\n\n"
+            "| sink | wall s | sustained turns/s | snapshots |\n|---|---|---|---|\n"
+            f"| noop (no persistence) | {noop_sec:.1f} | {n_turns / noop_sec:,.0f} | — |\n"
+            f"| ExactlyOnceIcebergSink | {ice_sec:.1f} | {n_turns / ice_sec:,.0f} | {n_snaps} |\n\n"
+            f"Overhead ×{ice_sec / noop_sec:.2f} for durable exactly-once output\n"
+            f"({n_rows_sunk:,} result rows; one atomic snapshot + footer-stats\n"
+            "harvest + latency percentiles per micro-batch). The per-batch cost\n"
+            "is constant metadata work — at production batch sizes (seconds of\n"
+            "data per trigger vs this test's 1/8th-input batches) it amortizes\n"
+            "to noise.\n\n"
+            "## 2. Raw ingest (full transcripts append, role-partitioned)\n\n"
+            f"{n_turns:,} rows in {ingest_sec:.1f} s = "
+            f"**{n_turns / ingest_sec:,.0f} rows/s** into {ingest_files} data\n"
+            "files incl. parquet write, per-file column-bounds harvest, and\n"
+            "the optimistic metadata commit.\n\n"
+            "## 3. Compaction (rewrite_data_files)\n\n"
+            "| state | live files | full-scan s |\n|---|---|---|\n"
+            f"| after 6 small appends | {frag_files} | {frag_scan_sec:.2f} |\n"
+            f"| after bin-pack compaction ({compact_sec:.1f} s) | {comp_files} | {comp_scan_sec:.2f} |\n\n"
+            f"Row parity held ({comp_cnt:,} rows before and after); the\n"
+            "replace snapshot is invisible to incremental consumers.\n\n"
+            "## 4. Partition pruning (identity on role)\n\n"
+            "| scan | files read | rows | wall s |\n|---|---|---|---|\n"
+            f"| full | {ingest_files} | {full_cnt:,} | {full_scan_sec:.2f} |\n"
+            f"| role = 'assistant' | {len(pruned_files)} | {pruned_cnt:,} | {pruned_scan_sec:.2f} |\n\n"
+            "Manifest-level pruning hands Spark only the matching files —\n"
+            "at 100 TB this is the difference between reading a partition\n"
+            "and reading the table.\n")
+    print(json.dumps({
+        "noop_sec": round(noop_sec, 2), "ice_sec": round(ice_sec, 2),
+        "ingest_rows_per_sec": round(n_turns / ingest_sec),
+        "frag_files": frag_files, "comp_files": comp_files,
+        "written": out,
+    }))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
@@ -972,6 +1141,8 @@ if __name__ == "__main__":
                     help="figure-10-style predicate sweep -> BENCH/PREDICATES.md")
     ap.add_argument("--trigger-sweep", action="store_true",
                     help="figure-12/13-style task-size sweep -> BENCH/TRIGGERS.md")
+    ap.add_argument("--iceberg-bench", action="store_true",
+                    help="Iceberg table-format cost/payoff -> BENCH/ICEBERG.md")
     ap.add_argument("--rerun-regressed", action="store_true",
                     help="interleaved best-of-N recheck of the r2-regressed "
                          "shapes -> BENCH/REGRESSED.md")
@@ -1001,6 +1172,8 @@ if __name__ == "__main__":
         run_sched_bench(args.cpus)
     elif args.trigger_sweep:
         run_trigger_sweep(args.cpus)
+    elif args.iceberg_bench:
+        run_iceberg_bench(args.sf_dir, args.cpus)
     elif args.rerun_regressed:
         run_regressed_recheck(args.sf_dir, args.cpus)
     elif args.slide_sweep:

@@ -510,6 +510,12 @@ class IcebergTable:
         snap_id = uuid.uuid4().int >> 75
 
         def build(base: dict) -> dict:
+            tag = (summary_extra or {}).get("saber.commit-tag")
+            if tag and any(
+                s["summary"].get("saber.commit-tag") == tag
+                for s in base["snapshots"]
+            ):
+                raise AlreadyCommitted(tag)
             live = self._live_files(base)
             missing = removed_paths - set(live)
             if missing:
@@ -631,7 +637,11 @@ class IcebergTable:
         return self._rewrite_commit(new_files, paths, "delete")
 
     def merge_into(
-        self, spark: SparkSession, source: DataFrame, key_cols: list[str]
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: list[str],
+        summary_extra: dict | None = None,
     ) -> dict:
         """``MERGE INTO t USING source ON keys WHEN MATCHED THEN UPDATE
         WHEN NOT MATCHED THEN INSERT`` (full-row upsert), copy-on-write:
@@ -669,7 +679,9 @@ class IcebergTable:
         target = self._read_paths(spark, meta, sorted(affected))
         survivors = target.join(source, on=key_cols, how="left_anti").select(*cols)
         new_files = self._write_data_files(survivors.unionByName(source), meta)
-        return self._rewrite_commit(new_files, set(affected), "overwrite")
+        return self._rewrite_commit(
+            new_files, set(affected), "overwrite", summary_extra
+        )
 
     def rewrite_data_files(
         self,
@@ -814,6 +826,40 @@ class IcebergTable:
                 )
         return df
 
+    def appended_file_paths(self, from_seq: int, to_seq: int) -> list[str]:
+        """Data files added by *append* snapshots with sequence number in
+        the half-open range ``(from_seq, to_seq]`` — the replayable unit a
+        streaming source plans micro-batches from (snapshots are
+        immutable, so a range always resolves to the same files)."""
+        meta = self._read_metadata()
+        paths: list[str] = []
+        for s in meta["snapshots"]:
+            if (
+                from_seq < s["sequence-number"] <= to_seq
+                and s["summary"]["operation"] == "append"
+            ):
+                for m in self._manifest_list(meta, s):
+                    if m["added_snapshot_id"] != s["snapshot-id"]:
+                        continue  # carried-forward manifest, not new rows
+                    with open(m["manifest_path"]) as f:
+                        paths += [
+                            e["data_file"]["file_path"]
+                            for e in json.load(f)
+                            if e["status"] == 1
+                        ]
+        return paths
+
+    def schema_ddl(self) -> str:
+        """Current schema as a Spark DDL string."""
+        meta = self._read_metadata()
+        return _spark_ddl(
+            next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+        )
+
     def incremental(
         self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id=None
     ) -> DataFrame:
@@ -825,31 +871,12 @@ class IcebergTable:
         if from_snapshot_id is not None and from_snapshot_id != -1:
             from_seq = self._snapshot(meta, from_snapshot_id)["sequence-number"]
         to_snap = self._snapshot(meta, to_snapshot_id)
-        paths = []
-        if to_snap is not None:
-            for s in meta["snapshots"]:
-                if (
-                    from_seq
-                    < s["sequence-number"]
-                    <= to_snap["sequence-number"]
-                    and s["summary"]["operation"] == "append"
-                ):
-                    for m in self._manifest_list(meta, s):
-                        if m["added_snapshot_id"] != s["snapshot-id"]:
-                            continue  # carried-forward manifest, not new rows
-                        with open(m["manifest_path"]) as f:
-                            paths += [
-                                e["data_file"]["file_path"]
-                                for e in json.load(f)
-                                if e["status"] == 1
-                            ]
-        ddl = _spark_ddl(
-            next(
-                s
-                for s in meta["schemas"]
-                if s["schema-id"] == meta["current-schema-id"]
-            )["fields"]
+        paths = (
+            self.appended_file_paths(from_seq, to_snap["sequence-number"])
+            if to_snap is not None
+            else []
         )
+        ddl = self.schema_ddl()
         if not paths:
             return spark.createDataFrame([], ddl)
         return spark.read.schema(ddl).parquet(*paths)

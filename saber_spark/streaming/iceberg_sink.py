@@ -49,11 +49,20 @@ class ExactlyOnceIcebergSink:
         query_name: str,
         event_ts_col: str | None = None,
         coalesce: int | None = None,
+        merge_keys: list[str] | None = None,
     ) -> None:
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.query_name = query_name
         self.event_ts_col = event_ts_col
+        # update-mode upsert: when set, each micro-batch is MERGEd into
+        # the table on these key columns (copy-on-write, one snapshot)
+        # instead of appended — the production shape for update-mode
+        # streams where a window's row is re-emitted with corrected
+        # values as late data arrives (SURVEY.md §7 Phase 4: "MERGE
+        # keyed on window+key, dedup by batchId"). Leave None for
+        # append-mode streams (each result row emitted exactly once).
+        self.merge_keys = merge_keys
         # files-per-commit bound. Iceberg writers target few large files
         # per commit (write.target-file-size-bytes); a windowed AGGREGATE
         # batch is tiny, so without this each commit lands one file per
@@ -77,23 +86,35 @@ class ExactlyOnceIcebergSink:
             "saber.batch-id": str(batch_id),
             "saber.committed-at": f"{time.time():.3f}",
         }
-        if self.event_ts_col and self.event_ts_col in df.columns:
-            lat_ms = (
-                F.lit(time.time())
-                - F.col(self.event_ts_col).cast("timestamp").cast("double")
-            ) * 1000.0
-            row = df.agg(
-                F.percentile_approx(
-                    lat_ms, F.array(*[F.lit(p) for p in LATENCY_PCTS]), 10_000
-                ).alias("pcts")
-            ).collect()[0]
-            if row["pcts"] is not None:
-                for p, v in zip(LATENCY_PCTS, row["pcts"]):
-                    summary[f"saber.latency-p{int(p * 100)}-ms"] = f"{v:.3f}"
+        # persist: the latency-percentile scan and the data-file write are
+        # two actions on the same batch plan — without a cache the whole
+        # micro-batch (incl. stateful aggregation) would execute twice
+        df.persist()
         try:
-            self.table.append(df, summary_extra=summary)
-        except AlreadyCommitted:
-            pass  # lost the re-drive race to an identical commit: done
+            if self.event_ts_col and self.event_ts_col in df.columns:
+                lat_ms = (
+                    F.lit(time.time())
+                    - F.col(self.event_ts_col).cast("timestamp").cast("double")
+                ) * 1000.0
+                row = df.agg(
+                    F.percentile_approx(
+                        lat_ms, F.array(*[F.lit(p) for p in LATENCY_PCTS]), 10_000
+                    ).alias("pcts")
+                ).collect()[0]
+                if row["pcts"] is not None:
+                    for p, v in zip(LATENCY_PCTS, row["pcts"]):
+                        summary[f"saber.latency-p{int(p * 100)}-ms"] = f"{v:.3f}"
+            try:
+                if self.merge_keys:
+                    self.table.merge_into(
+                        df.sparkSession, df, self.merge_keys, summary_extra=summary
+                    )
+                else:
+                    self.table.append(df, summary_extra=summary)
+            except AlreadyCommitted:
+                pass  # lost the re-drive race to an identical commit: done
+        finally:
+            df.unpersist()
 
     def start(self, df: DataFrame, output_mode: str = "append", **trigger):
         writer = (

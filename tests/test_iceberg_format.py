@@ -377,6 +377,57 @@ def test_iceberg_sink_end_to_end_exactly_once(spark, ice_stream_dir):
     assert sink.read_committed(spark).count() == got.count()
 
 
+def test_iceberg_merge_sink_update_mode(spark, ice_stream_dir):
+    """Update-mode stream + MERGE-keyed sink: every re-emission of a
+    window upserts its row, so the final table equals the batch aggregate
+    over ALL windows (open ones included) — the late-data-correcting
+    production shape of SURVEY.md §7 Phase 4."""
+    from saber_spark.operators.aggregation import AggSpec, windowed_aggregate
+    from saber_spark.operators.windows import RANGE, WindowDef
+
+    loc = _fresh("merge_sink")
+    ckpt = _fresh("merge_sink_ckpt")
+    agg = _ysb_stream(spark, ice_stream_dir)
+    table = IcebergTable.create(loc, agg)
+    sink = ExactlyOnceIcebergSink(
+        table, ckpt, "ysb_merge", coalesce=1,
+        merge_keys=["window_start", "window_end"],
+    )
+    q = sink.start(agg, output_mode="update")
+    q.processAllAvailable()
+    q.stop()
+
+    t = transcripts(spark, SF_SMOKE).withColumn(
+        "text_len", F.length("text").cast("long")
+    )
+    batch = windowed_aggregate(
+        t.where(F.col("role") == "assistant"),
+        WindowDef(RANGE, 600),
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len")],
+    )
+    got = {
+        (r["window_start"], r["window_end"], r["n_turns"], r["sum_len"])
+        for r in sink.read_committed(spark).collect()
+    }
+    want = {
+        (r["window_start"], r["window_end"], r["n_turns"], r["sum_len"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+    # exactly one row per window despite multi-batch re-emission
+    n_windows = sink.read_committed(spark).select("window_start").distinct().count()
+    assert sink.read_committed(spark).count() == n_windows
+    # idempotent re-drive of a committed merge batch: no new snapshot
+    n_snaps = len(table.snapshots())
+    batch_ids = sorted(
+        int(s["summary"]["saber.batch-id"])
+        for s in table.snapshots()
+        if "saber.batch-id" in s["summary"]
+    )
+    sink._foreach_batch(sink.read_committed(spark), batch_ids[0])
+    assert len(table.snapshots()) == n_snaps
+
+
 def test_iceberg_sink_matches_batch_oracle(spark, ice_stream_dir):
     """Value-level parity: the sunk result equals the batch windowed
     aggregate restricted to windows closed by the final watermark."""

@@ -1,0 +1,116 @@
+"""Model-based property test of the from-scratch Iceberg table format.
+
+Hypothesis drives random sequences of table operations (append /
+delete_where / merge_into / rewrite_data_files / expire+orphan-cleanup)
+against a plain multiset model of the table's rows; after EVERY
+operation the snapshot-isolated scan must equal the model exactly, and
+at the end a randomly chosen historical snapshot must still read its
+recorded contents (time travel is content-addressed, so maintenance
+ops must never corrupt it).
+
+This is the table-format analogue of the pane-layer geometry property
+test: the commit protocol's visible-state machine, explored rather than
+enumerated.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from saber_spark.sources.iceberg_format import IcebergTable
+
+TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".tmp",
+    "iceberg_prop",
+)
+
+SCHEMA = "id int, grp string, val bigint"
+GROUPS = ["a", "b", "c"]
+
+# op grammar: each op is a (kind, arg) pair
+_append = st.tuples(
+    st.just("append"),
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=6),
+)
+_delete = st.tuples(st.just("delete"), st.sampled_from(GROUPS))
+_merge = st.tuples(
+    st.just("merge"),
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=4),
+)
+_compact = st.tuples(st.just("compact"), st.none())
+_expire = st.tuples(st.just("expire"), st.none())
+
+OPS = st.lists(
+    st.one_of(_append, _delete, _merge, _compact, _expire),
+    min_size=3,
+    max_size=7,
+)
+
+
+def _row(i: int, tag: int):
+    return (i, GROUPS[i % len(GROUPS)], i * 100 + tag)
+
+
+def _scan_counter(spark, table, **kw) -> Counter:
+    return Counter(
+        (r["id"], r["grp"], r["val"]) for r in table.scan(spark, **kw).collect()
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=OPS, data=st.data())
+def test_table_state_machine_matches_model(spark, ops, data):
+    shutil.rmtree(TMP, ignore_errors=True)
+    table = IcebergTable.create(
+        TMP, spark.createDataFrame([], SCHEMA).schema
+    )
+    model: Counter = Counter()
+    history: list[tuple[int, Counter]] = []
+    tag = 0
+
+    for kind, arg in ops:
+        tag += 1
+        if kind == "append":
+            rows = [_row(i, tag) for i in arg]
+            table.append(spark.createDataFrame(rows, SCHEMA))
+            model.update(rows)
+        elif kind == "delete":
+            table.delete_where(spark, [("grp", "=", arg)])
+            model = Counter(
+                {t: n for t, n in model.items() if t[1] != arg}
+            )
+        elif kind == "merge":
+            rows = [_row(i, tag) for i in set(arg)]
+            table.merge_into(
+                spark, spark.createDataFrame(rows, SCHEMA), ["id"]
+            )
+            ids = {r[0] for r in rows}
+            model = Counter({t: n for t, n in model.items() if t[0] not in ids})
+            model.update(rows)
+        elif kind == "compact":
+            table.rewrite_data_files(
+                spark, target_file_size_bytes=256 * 1024 * 1024, min_input_files=2
+            )
+        elif kind == "expire":
+            table.expire_snapshots(keep_last=1)
+            table.remove_orphan_files()
+            history.clear()  # expired snapshots are gone by design
+        assert _scan_counter(spark, table) == model, f"after {kind}({arg})"
+        history.append((table.current_snapshot_id(), Counter(model)))
+
+    # time travel: one random retained snapshot still reads its contents
+    if history:
+        snap_id, snap_model = data.draw(st.sampled_from(history))
+        assert _scan_counter(spark, table, snapshot_id=snap_id) == snap_model
