@@ -37,6 +37,9 @@ SCALE_CONFS: dict[str, str] = {
     # Scans: full 128 MB splits so a 100 TB read makes ~800k tasks, not 8M.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # Python Data Source v2 pushdown (the saber_iceberg source prunes
+    # data files from manifest stats in pushFilters).
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
 }
 

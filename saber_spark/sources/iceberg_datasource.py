@@ -1,0 +1,213 @@
+"""Spark Python Data Source over the from-scratch Iceberg table format.
+
+``sources/iceberg_format.py`` implements the table format itself (spec
+metadata, optimistic commits, snapshot isolation); this module plugs it
+into Spark's planner through the Python Data Source API (SPARK-44076,
+public in 4.x) so Iceberg tables participate in normal query plans:
+
+    spark.dataSource.register(IcebergDataSource)
+    spark.read.format("saber_iceberg").option("location", loc).load()
+    spark.readStream.format("saber_iceberg").option("location", loc).load()
+
+- **Batch reader**: one ``InputPartition`` per live data file of the
+  pinned snapshot, so Spark schedules file reads across executors
+  exactly like its native parquet source. ``pushFilters`` (4.1 API)
+  receives the query's AND-ed predicates and applies them to the
+  manifest statistics — partition-transform values and per-column
+  lower/upper bounds — so non-matching files are never scheduled at
+  all. All filters are also returned as residuals: file-level pruning
+  is a superset guarantee, Spark still applies the row-level predicate
+  (same contract as Iceberg's own scan planning).
+- **Stream reader**: offsets are snapshot sequence numbers; each
+  micro-batch is the half-open sequence range ``(start, end]`` and its
+  partitions are the data files added by *append* snapshots in that
+  range — the incremental-scan contract of ``IcebergTable.incremental``
+  expressed as a replayable source. Offsets live in the query
+  checkpoint, and a given range always resolves to the same files
+  (snapshots are immutable), so restart gives exactly-once batches.
+  ``starting-offsets`` ∈ {earliest, latest} picks where a fresh
+  checkpoint begins.
+
+Executors read the parquet data files with pyarrow directly (no JVM
+round trip) and stream Arrow record batches back, cast to the table
+schema's Arrow form so TIMESTAMP_NTZ files surface as the session-UTC
+timestamps the rest of the engine assumes.
+
+Retention caveat (same as real Iceberg streaming reads): a stream that
+resumes from a checkpoint needs its ``start`` snapshot still present —
+``expire_snapshots`` retention must cover the longest expected restart
+gap.
+
+Reference analogue: Saber's dispatcher hands fixed-size byte-buffer
+tasks to workers (SURVEY.md §3.2); here the planner hands per-file
+Arrow tasks to executors, with pruning instead of scan-everything.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from saber_spark.sources.iceberg_format import IcebergTable
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.types import StructType
+
+
+@dataclass
+class FilePartition(InputPartition):
+    """One Iceberg data file == one Spark input partition."""
+
+    file_path: str
+
+
+_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _arrow_schema(schema: "StructType"):
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
+    )
+
+
+def _read_file_batches(path: str, arrow_schema) -> Iterator:
+    """Executor-side: stream one data file as Arrow batches cast to the
+    table schema (column order + TIMESTAMP_NTZ -> session-UTC)."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path, columns=arrow_schema.names)
+    yield from table.cast(arrow_schema).to_batches()
+
+
+class IcebergBatchReader(DataSourceReader):
+    def __init__(self, location: str, options: dict, schema: "StructType"):
+        self.location = location
+        self.snapshot_id = (
+            int(options["snapshot-id"]) if "snapshot-id" in options else None
+        )
+        self.as_of_ms = int(options["as-of-ms"]) if "as-of-ms" in options else None
+        self.arrow_schema = _arrow_schema(schema)
+        self.pruning_filters: list[tuple] = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            op = _OPS.get(type(f))
+            # only top-level columns with plain scalar values participate
+            # in manifest pruning; everything else is Spark's problem
+            if op and len(f.attribute) == 1 and isinstance(
+                f.value, (int, float, str)
+            ):
+                self.pruning_filters.append((f.attribute[0], op, f.value))
+        # every filter stays residual: file pruning is a superset
+        # guarantee, the row-level predicate still runs in Spark
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = IcebergTable(self.location).files(
+            snapshot_id=self.snapshot_id,
+            as_of_ms=self.as_of_ms,
+            filters=self.pruning_filters or None,
+        )
+        return [FilePartition(d["file_path"]) for d in files]
+
+    def read(self, partition: FilePartition) -> Iterator:
+        yield from _read_file_batches(partition.file_path, self.arrow_schema)
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, location: str, options: dict, schema: "StructType"):
+        self.location = location
+        self.arrow_schema = _arrow_schema(schema)
+        self.start_at_latest = (
+            options.get("starting-offsets", "earliest").lower() == "latest"
+        )
+        # NOTE deliberately NO per-trigger rate limit: latestOffset() in
+        # the Python stream-reader API takes no start offset, so a
+        # snapshot clamp needs reader-instance state — and the engine
+        # calls initialOffset/latestOffset/commit on instances and in
+        # orders that make any such floor non-monotonic (observed: a
+        # batch planned with an end BELOW the committed offset, which on
+        # restart means re-read = duplicates). Until the API grows the
+        # JVM side's ReadLimit-aware latestOffset(start, limit),
+        # admission control belongs to the trigger (availableNow) and to
+        # writer-side batch sizing — SURVEY.md §4.2.
+
+    def _seqs(self) -> list[int]:
+        return sorted(
+            s["sequence-number"] for s in IcebergTable(self.location).snapshots()
+        )
+
+    def initialOffset(self) -> dict:
+        if self.start_at_latest:
+            seqs = self._seqs()
+            return {"seq": seqs[-1] if seqs else 0}
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        seqs = self._seqs()
+        return {"seq": seqs[-1] if seqs else 0}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        table = IcebergTable(self.location)
+        paths = table.appended_file_paths(start["seq"], end["seq"])
+        return [FilePartition(p) for p in paths]
+
+    def read(self, partition: FilePartition) -> Iterator:
+        yield from _read_file_batches(partition.file_path, self.arrow_schema)
+
+    def commit(self, end: dict) -> None:
+        # offsets are durable in the query checkpoint; the table needs no
+        # consumer-side bookkeeping (snapshots are immutable)
+        return
+
+
+class IcebergDataSource(DataSource):
+    """``format("saber_iceberg")`` — batch + streaming reads of
+    ``IcebergTable`` locations through Spark's planner."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "saber_iceberg"
+
+    def _location(self) -> str:
+        loc = self.options.get("location") or self.options.get("path")
+        if not loc:
+            raise ValueError(
+                "saber_iceberg requires .option('location', <table dir>)"
+            )
+        return loc
+
+    def schema(self) -> str:
+        return IcebergTable(self._location()).schema_ddl()
+
+    def reader(self, schema: "StructType") -> IcebergBatchReader:
+        return IcebergBatchReader(self._location(), dict(self.options), schema)
+
+    def streamReader(self, schema: "StructType") -> IcebergStreamReader:
+        return IcebergStreamReader(self._location(), dict(self.options), schema)
+
+
+def register_iceberg_source(spark) -> None:
+    """Idempotent registration of the ``saber_iceberg`` format."""
+    spark.dataSource.register(IcebergDataSource)
