@@ -1063,6 +1063,58 @@ def run_iceberg_bench(sf_dir: str, cpus: int = 32) -> None:
     pruned_cnt = raw.scan(spark, filters=[("role", "=", "assistant")]).count()
     pruned_scan_sec = time.perf_counter() - t0
 
+    # 5) streaming-source tail: replay the raw table through the
+    # saber_iceberg source (one Arrow task per data file in executors)
+    # into the noop sink — the read-side throughput of the loop
+    from saber_spark.streaming.jobs import read_iceberg_stream
+
+    t0 = time.perf_counter()
+    q = (
+        read_iceberg_stream(spark, raw.location)
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(base, "ck_tail"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    tail_sec = time.perf_counter() - t0
+    q.stop()
+
+    # 5b) amortized tail: add_files-import 16M staged rows (zero-copy
+    # migrate — footer stats + one commit, no rewrite), then replay
+    # through the source. Separates the per-stream fixed cost that
+    # dominates §5's 100k-row number from the sustained read rate.
+    big_rows = big_sec = None
+    if os.path.isdir(SCALE_INPUT):
+        import glob as _glob
+
+        big_files = sorted(
+            _glob.glob(os.path.join(SCALE_INPUT, "*.parquet"))
+        )[:16]
+        if big_files:
+            big = IcebergTable.create(
+                os.path.join(base, "big_table"),
+                spark.read.parquet(big_files[0]).schema,
+            )
+            t0 = time.perf_counter()
+            for i in range(0, len(big_files), 4):
+                big.add_files(big_files[i : i + 4])
+            import_sec = time.perf_counter() - t0
+            big_rows = sum(d["record_count"] for d in big.files())
+            t0 = time.perf_counter()
+            q = (
+                read_iceberg_stream(spark, big.location)
+                .writeStream.format("noop")
+                .option(
+                    "checkpointLocation", os.path.join(base, "ck_big_tail")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(1200)
+            big_sec = time.perf_counter() - t0
+            q.stop()
+
     # 3) fragment with small appends, then compact
     slice_df = turns.where(F.col("turn_idx") < 2)
     for _ in range(6):
@@ -1120,10 +1172,29 @@ def run_iceberg_bench(sf_dir: str, cpus: int = 32) -> None:
             f"| role = 'assistant' | {len(pruned_files)} | {pruned_cnt:,} | {pruned_scan_sec:.2f} |\n\n"
             "Manifest-level pruning hands Spark only the matching files —\n"
             "at 100 TB this is the difference between reading a partition\n"
-            "and reading the table.\n")
+            "and reading the table.\n\n"
+            "## 5. Streaming-source tail (saber_iceberg read side)\n\n"
+            f"Replaying the {n_turns:,}-row table through the snapshot-range\n"
+            f"streaming source into the noop sink: {tail_sec:.1f} s = \n"
+            f"**{n_turns / tail_sec:,.0f} rows/s** (one pyarrow task per data\n"
+            "file, Arrow batches straight to executors). Together with §1 this\n"
+            "is both halves of the loop: table → stream → agg → sink → table.\n"
+            + (
+                "\nAt this input size the per-stream fixed cost (offset log,\n"
+                "query startup) dominates, so the same tail was repeated on a\n"
+                f"{big_rows:,}-row table imported zero-copy from the staged\n"
+                f"64M-turn input via `add_files` ({import_sec * 1000:.0f} ms for\n"
+                "footer-stat harvest + commits, no data rewrite — the 100-TB\n"
+                f"migrate path): {big_sec:.1f} s = **{big_rows / big_sec:,.0f}\n"
+                "rows/s** sustained through the streaming source.\n"
+                if big_sec
+                else ""
+            ))
     print(json.dumps({
         "noop_sec": round(noop_sec, 2), "ice_sec": round(ice_sec, 2),
         "ingest_rows_per_sec": round(n_turns / ingest_sec),
+        "tail_rows_per_sec": round(n_turns / tail_sec),
+        "big_tail_rows_per_sec": round(big_rows / big_sec) if big_sec else None,
         "frag_files": frag_files, "comp_files": comp_files,
         "written": out,
     }))

@@ -3,9 +3,11 @@ full life of a transcripts table, runnable in this sandbox (no jars):
 
     python examples/iceberg_pipeline.py [--sf-dir /root/testdata/sf0.001]
 
-1. batch-ingest the transcripts into a role-partitioned Iceberg table;
-2. stream the YSB windowed aggregate into a second table through the
-   exactly-once snapshot-per-batch sink;
+1. batch-ingest the transcripts into a role-partitioned Iceberg table
+   (three chronological appends = three snapshots);
+2. stream FROM that table (saber_iceberg streaming source) through the
+   YSB windowed aggregate INTO a second table via the exactly-once
+   snapshot-per-batch sink — the full north-rule loop;
 3. tail the results table with incremental scans (snapshot-range reads —
    what a downstream consumer polls);
 4. GDPR-style targeted delete (copy-on-write, only matching files
@@ -31,12 +33,11 @@ from pyspark.sql import functions as F
 from saber_spark.operators.aggregation import AggSpec
 from saber_spark.operators.windows import RANGE, WindowDef
 from saber_spark.plans.saber_queries import transcripts
-from saber_spark.plans.streaming_queries import _stage_chunks, _stream_schema
 from saber_spark.session import get_spark
 from saber_spark.sources.iceberg_format import IcebergTable
 from saber_spark.streaming.iceberg_sink import ExactlyOnceIcebergSink
 from saber_spark.streaming.jobs import (
-    read_transcript_stream,
+    read_iceberg_stream,
     streaming_windowed_aggregate,
 )
 
@@ -51,22 +52,31 @@ def main() -> None:
     shutil.rmtree(args.workdir, ignore_errors=True)
     spark = get_spark(app_name="iceberg_pipeline", cpus=8, shuffle_partitions=8)
 
-    # 1. batch ingest, partitioned by role
+    # 1. batch ingest, partitioned by role, in chronological thirds
+    #    (each append = one snapshot = one micro-batch for the tail below)
     turns = transcripts(spark, args.sf_dir)
     raw = IcebergTable.create(
         os.path.join(args.workdir, "transcripts"), turns,
         partition_by=[("role", "identity")])
-    raw.append(turns)
+    lo, hi = turns.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    for k in range(3):
+        cond = F.col("ts") >= F.lit(lo + k * span)
+        if k < 2:
+            cond &= F.col("ts") < F.lit(lo + (k + 1) * span)
+        raw.append(turns.where(cond))
     print(f"[ingest] {raw.scan(spark).count():,} turns, "
-          f"{len(raw.files())} files, snapshot {raw.current_snapshot_id()}")
+          f"{len(raw.files())} files, {len(raw.snapshots())} snapshots")
 
-    # 2. stream -> exactly-once sink
-    chunks = _stage_chunks(spark, args.sf_dir, "icepipe")
-    stream = read_transcript_stream(
-        spark, f"{chunks}/chunk=*", max_files_per_trigger=1,
-        schema=_stream_schema())
+    # 2. stream FROM the Iceberg table -> exactly-once sink (the full
+    #    loop: each ingest snapshot replays as a micro-batch through the
+    #    saber_iceberg streaming source)
+    stream = read_iceberg_stream(
+        spark, os.path.join(args.workdir, "transcripts"))
     agg = streaming_windowed_aggregate(
-        stream.where(F.col("role") == "assistant"), WindowDef(RANGE, 600),
+        stream.where(F.col("role") == "assistant")
+        .withColumn("text_len", F.length("text").cast("long")),
+        WindowDef(RANGE, 600),
         [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len")],
         watermark="0 seconds")
     results = IcebergTable.create(os.path.join(args.workdir, "ysb_results"), agg)
@@ -83,7 +93,7 @@ def main() -> None:
 
     # 3. incremental tail: what arrived after the 2nd snapshot
     snaps = results.snapshots()
-    since = snaps[min(1, len(snaps) - 1)]["snapshot-id"]
+    since = snaps[0]["snapshot-id"]
     inc = results.incremental(spark, from_snapshot_id=since)
     print(f"[tail] {inc.count():,} new result rows after snapshot {since}")
 

@@ -216,25 +216,30 @@ SELECT * FROM agg WHERE window_end <= (SELECT w FROM wm)
 
 @register("ysb_windowed_agg_sunk", _YSB_SUNK_ORACLE)
 def ysb_windowed_agg_sunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The YSB flagship executed as a stream INTO the exactly-once
-    Iceberg sink (streaming/iceberg_sink.py over the from-scratch table
-    format in sources/iceberg_format.py), result read back via a
-    snapshot-isolated scan of committed snapshots only — driver-verifies
-    the full produce->commit->consume path the north_rule names as a
-    first-class deliverable (reference analogue: result re-dispatch,
-    ResultAggregator.java:164-209, which persists nothing; the
-    table-format sink is new engineering on Spark primitives)."""
+    """The YSB flagship executed as the full Iceberg loop the north rule
+    describes: transcripts live in an Iceberg table; the query STREAMS
+    from it (sources/iceberg_datasource.py — append snapshots become
+    micro-batches) and lands in a second Iceberg table through the
+    exactly-once snapshot-per-batch sink (streaming/iceberg_sink.py);
+    the result is read back via a snapshot-isolated scan of committed
+    snapshots only. Chronological appends are interleaved with
+    processAllAvailable so each snapshot is a genuine micro-batch —
+    table → stream → windowed aggregate → sink → scan, all
+    driver-verified against one oracle (reference analogue: result
+    re-dispatch, ResultAggregator.java:164-209, which persists nothing;
+    the table-format loop is new engineering on Spark primitives)."""
     from saber_spark.sources.iceberg_format import IcebergTable
     from saber_spark.streaming.iceberg_sink import ExactlyOnceIcebergSink
+    from saber_spark.streaming.jobs import read_iceberg_stream
 
     path = _stage_chunks(spark, sf_dir, "ysbsunk")
+    src_dir = os.path.join(_TMP, "driver_stream", "sunk_ice_src")
     out_dir = os.path.join(_TMP, "driver_stream", "sunk_ice_table")
     ckpt = os.path.join(_TMP, "driver_stream", "ckpt_sunk_ice")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    stream = read_transcript_stream(
-        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
-    )
+    for d in (src_dir, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    source_table = IcebergTable.create(src_dir, _stream_schema())
+    stream = read_iceberg_stream(spark, src_dir)
     agg = streaming_windowed_aggregate(
         stream.where(F.col("role") == "assistant"),
         WindowDef(RANGE, 600),
@@ -254,7 +259,14 @@ def ysb_windowed_agg_sunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         table, ckpt, "ysb_ice_driver", event_ts_col="window_end", coalesce=1
     )
     q = sink.start(agg, output_mode="append")
-    q.processAllAvailable()
+    for chunk in sorted(os.listdir(path)):
+        if not chunk.startswith("chunk="):
+            continue
+        source_table.append(
+            spark.read.schema(_stream_schema()).parquet(os.path.join(path, chunk))
+        )
+        q.processAllAvailable()
+    q.processAllAvailable()  # no-data batch: watermark tail flush
     q.stop()
     return sink.read_committed(spark).select(
         "window_start", "window_end", "n_turns", "sum_len", "avg_len"

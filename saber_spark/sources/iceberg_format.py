@@ -477,6 +477,35 @@ class IcebergTable:
         files = self._write_data_files(df, meta)
         return self._snapshot_commit(files, "overwrite", summary_extra)
 
+    def add_files(
+        self, paths: list[str], summary_extra: dict | None = None
+    ) -> dict:
+        """Iceberg's ``add_files`` / migrate import: commit EXISTING
+        parquet files as one append snapshot without rewriting a byte —
+        only footers are read (stats harvest) plus one metadata commit.
+        At 100 TB this is how a parquet lake becomes an Iceberg table in
+        minutes instead of a full rewrite. The files must match the
+        table schema; external paths are never touched by
+        ``remove_orphan_files`` (it only sweeps the table's own data
+        dir), matching Iceberg's referenced-location semantics.
+        Unpartitioned specs only — partition values would need to be
+        supplied per file (spec add_files does this via the source
+        layout; not needed here)."""
+        meta = self._read_metadata()
+        if self._partition_fields(meta):
+            raise ValueError("add_files requires an unpartitioned spec")
+        entries = [
+            {
+                "content": 0,
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": {},
+                **_file_stats(p),
+            }
+            for p in paths
+        ]
+        return self._snapshot_commit(entries, "append", summary_extra)
+
     # -- copy-on-write row-level operations (spec §Row-level deletes; this
     # implementation takes the copy-on-write path Iceberg v1 engines use:
     # affected data files are rewritten without the target rows and swapped

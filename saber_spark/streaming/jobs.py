@@ -67,6 +67,25 @@ def read_transcript_stream(
     return reader.parquet(path)
 
 
+def read_iceberg_stream(
+    spark: SparkSession, location: str, starting: str = "earliest"
+) -> DataFrame:
+    """Streaming read of a from-scratch Iceberg table
+    (sources/iceberg_datasource.py): every append snapshot committed
+    after the stream's checkpointed offset becomes part of the next
+    micro-batch — the "10^12-turn Iceberg transcript stream" input shape
+    the north rule names, with the schema taken from table metadata."""
+    from saber_spark.sources.iceberg_datasource import register_iceberg_source
+
+    register_iceberg_source(spark)
+    return (
+        spark.readStream.format("saber_iceberg")
+        .option("location", location)
+        .option("starting-offsets", starting)
+        .load()
+    )
+
+
 def streaming_windowed_aggregate(
     stream: DataFrame,
     wd: WindowDef,

@@ -428,6 +428,36 @@ def test_iceberg_merge_sink_update_mode(spark, ice_stream_dir):
     assert len(table.snapshots()) == n_snaps
 
 
+def test_add_files_zero_copy_import(spark):
+    """add_files commits existing parquet files without rewriting them:
+    scan sees the rows, the files stay at their external paths, and
+    orphan cleanup never touches them."""
+    import glob
+
+    loc = _fresh("addfiles")
+    ext = _fresh("addfiles_ext")
+    src = _turns(spark)
+    src.coalesce(2).write.parquet(ext)
+    paths = sorted(glob.glob(os.path.join(ext, "*.parquet")))
+    assert len(paths) >= 1
+
+    t = IcebergTable.create(loc, src.schema)
+    t.add_files(paths)
+    assert _key_set(t.scan(spark)) == _key_set(src)
+    # zero-copy: no data files materialized under the table itself
+    assert t.remove_orphan_files() == []
+    assert all(os.path.exists(p) for p in paths)
+    assert _key_set(t.scan(spark)) == _key_set(src)
+    # incremental/streaming sees the imported snapshot as an append
+    assert sorted(t.appended_file_paths(0, 10**9)) == paths
+
+    part = IcebergTable.create(
+        _fresh("addfiles_part"), src.schema, partition_by=[("role", "identity")]
+    )
+    with pytest.raises(ValueError):
+        part.add_files(paths)
+
+
 def test_iceberg_sink_matches_batch_oracle(spark, ice_stream_dir):
     """Value-level parity: the sunk result equals the batch windowed
     aggregate restricted to windows closed by the final watermark."""
