@@ -61,8 +61,11 @@ def _headline_builders(qs: dict) -> dict:
     that the bench still times (they remain exported builders)."""
     from saber_spark.plans.saber_queries import cm1_pane_fanout
 
+    from saber_spark.plans.saber_queries import row_window_sliding_agg
+
     out = dict(qs)
     out["cm1_pane_fanout"] = cm1_pane_fanout
+    out["row_window_sliding_agg"] = row_window_sliding_agg
     return out
 
 

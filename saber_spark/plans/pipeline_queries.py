@@ -335,6 +335,61 @@ def similarity_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rp_lsh_pairs(_embs(spark, sf_dir), n_planes=12, threshold=0.4)
 
 
+_IVF_STRIDE, _IVF_PROBES = 37, 3
+
+_IVF_ORACLE = f"""
+WITH {_COS_NORM},
+cents AS (
+    SELECT vec_id AS cell_id, embedding AS cv, nrm AS cn
+    FROM nv WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assigned AS (
+    SELECT nbr_id, bv, bn, cell_id FROM (
+        SELECT b.vec_id AS nbr_id, b.embedding AS bv, b.nrm AS bn, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY round({_dotseq("b.embedding", "c.cv")} / (b.nrm * c.cn), 6) DESC,
+                            c.cell_id) AS crk
+        FROM nv b CROSS JOIN cents c
+    ) WHERE crk = 1
+),
+probes AS (
+    SELECT query_id, qv, qn, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, q.nrm AS qn, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_dotseq("q.embedding", "c.cv")} / (q.nrm * c.cn), 6) DESC,
+                            c.cell_id) AS crk
+        FROM nv q CROSS JOIN cents c
+        WHERE q.vec_id < 20
+    ) WHERE crk <= {_IVF_PROBES}
+),
+scored AS (
+    SELECT DISTINCT p.query_id, a.nbr_id,
+           round({_dotseq("p.qv", "a.bv")} / (p.qn * a.bn), 6) AS cosine
+    FROM probes p JOIN assigned a USING (cell_id)
+    WHERE p.query_id != a.nbr_id
+)
+SELECT query_id, nbr_id, cosine, rk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rk
+    FROM scored
+) WHERE rk <= 5
+"""
+
+
+@register("similarity_ivf_topk", _IVF_ORACLE)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: broadcast deterministic centroid codebook, base
+    corpus shuffled once into nearest-centroid cells (inverted lists),
+    queries (vec_id<20) probe their 3 closest cells, exact cosine ranks
+    candidates — the centroid-partitioned counterpart to the LSH path."""
+    e = _embs(spark, sf_dir)
+    return sim.ivf_topk(
+        e, e.where(F.col("vec_id") < 20),
+        k=5, stride=_IVF_STRIDE, n_probes=_IVF_PROBES,
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -297,7 +297,6 @@ GROUP BY user_id
 """
 
 
-@register("pivot_events_by_type", _PIVOT_ORACLE)
 def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as wide columns (conditional
     aggregation — the distributed pivot pattern; Spark's .pivot() builds
@@ -330,7 +329,6 @@ FROM (
 """
 
 
-@register("unpivot_lineitem_measures", _UNPIVOT_ORACLE)
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 199 == 0)
     return li.select(
@@ -341,3 +339,44 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'discount', l_discount) AS (measure, val)"
         ),
     ).withColumn("val", F.col("val").cast("double"))
+
+
+_PIVOT_UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (event_type = 'purchase') AS DOUBLE)
+               AS purchase_value
+    FROM events GROUP BY user_id
+)
+SELECT user_id, metric, CAST(val AS DOUBLE) AS val
+FROM (
+    SELECT user_id,
+           unnest(['n_click', 'n_view', 'n_purchase', 'purchase_value']) AS metric,
+           unnest([CAST(n_click AS DOUBLE), CAST(n_view AS DOUBLE),
+                   CAST(n_purchase AS DOUBLE), purchase_value])          AS val
+    FROM wide
+)
+"""
+
+
+@register("pivot_unpivot_events", _PIVOT_UNPIVOT_ORACLE)
+def pivot_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip in one driver entry (50-entry
+    consolidation): per-user event-type metrics pivoted wide, then
+    stacked back to long (user_id, metric, val) rows — both reshaping
+    operators value-checked by a single oracle. The standalone builders
+    (``pivot_events_by_type``, ``unpivot_lineitem_measures``) stay
+    exported and pytest-covered."""
+    wide = pivot_events_by_type(spark, sf_dir)
+    return wide.select(
+        "user_id",
+        F.expr(
+            "stack(4, 'n_click', CAST(n_click AS DOUBLE),"
+            " 'n_view', CAST(n_view AS DOUBLE),"
+            " 'n_purchase', CAST(n_purchase AS DOUBLE),"
+            " 'purchase_value', purchase_value) AS (metric, val)"
+        ),
+    )

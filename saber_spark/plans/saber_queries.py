@@ -198,16 +198,24 @@ def w3_wide_or_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _ROWWIN_ORACLE = with_transcripts_oracle("""
-SELECT conv_id,
+SELECT 'tumbling' AS mode, conv_id,
        CAST(floor(turn_idx / 16) AS BIGINT) AS window_id,
        count(*)                             AS n_turns,
-       CAST(sum(length(text)) AS BIGINT)    AS sum_len
+       avg(length(text))                    AS avg_len
 FROM transcripts
-GROUP BY 1, 2
+GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS mode, conv_id,
+       CAST(floor(turn_idx / 4) AS BIGINT) - r.k AS window_id,
+       count(*)                                   AS n_turns,
+       avg(length(text))                          AS avg_len
+FROM transcripts, range(0, 4) AS r(k)
+WHERE CAST(floor(turn_idx / 4) AS BIGINT) - r.k >= 0
+  AND turn_idx < (CAST(floor(turn_idx / 4) AS BIGINT) - r.k) * 4 + 16
+GROUP BY 2, 3
 """)
 
 
-@register("row_window_tumbling_agg", _ROWWIN_ORACLE)
 def row_window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROW_BASED tumbling window, size 16 — no Spark primitive; expressed
     as dense turn_idx bucketing per conversation (SURVEY.md §1.5)."""
@@ -215,23 +223,10 @@ def row_window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_aggregate(
         t.select("conv_id", "turn_idx", F.length("text").alias("text_len")),
         WindowDef(ROW, 16),
-        [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len")],
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("avg", "text_len", "avg_len")],
     )
 
 
-_ROWWIN_SLIDE_ORACLE = with_transcripts_oracle("""
-SELECT conv_id,
-       CAST(floor(turn_idx / 4) AS BIGINT) - r.k AS window_id,
-       count(*)                                   AS n_turns,
-       avg(length(text))                          AS avg_len
-FROM transcripts, range(0, 4) AS r(k)
-WHERE CAST(floor(turn_idx / 4) AS BIGINT) - r.k >= 0
-  AND turn_idx < (CAST(floor(turn_idx / 4) AS BIGINT) - r.k) * 4 + 16
-GROUP BY 1, 2
-""")
-
-
-@register("row_window_sliding_agg", _ROWWIN_SLIDE_ORACLE)
 def row_window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROW_BASED sliding window size 16 / slide 4 (figure-11b sweep shape)."""
     t = transcripts(spark, sf_dir)
@@ -240,6 +235,18 @@ def row_window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WindowDef(ROW, 16, 4),
         [AggSpec("cnt", "*", "n_turns"), AggSpec("avg", "text_len", "avg_len")],
     )
+
+
+@register("row_window_aggs", _ROWWIN_ORACLE)
+def row_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both batch ROW-window shapes in one driver entry (50-entry
+    consolidation): tumbling size 16 and sliding 16/4, union-tagged by
+    ``mode`` so each keeps its own value-checked rows. The builders stay
+    exported for bench.py and the plan tests."""
+    tum = row_window_tumbling_agg(spark, sf_dir).withColumn("mode", F.lit("tumbling"))
+    sld = row_window_sliding_agg(spark, sf_dir).withColumn("mode", F.lit("sliding"))
+    cols = ["mode", "conv_id", "window_id", "n_turns", "avg_len"]
+    return tum.select(*cols).unionByName(sld.select(*cols))
 
 
 # --------------------------------------------------------------------------

@@ -258,15 +258,39 @@ def ysb_windowed_agg_sunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = ExactlyOnceIcebergSink(
         table, ckpt, "ysb_ice_driver", event_ts_col="window_end", coalesce=1
     )
+    # Drive loop with RESUME-ON-FAILURE: if the stream dies mid-run
+    # (executor loss, transient planner error), restart it from the SAME
+    # checkpoint — offsets continue after the last committed batch and
+    # the sink's idempotent commit-tags absorb the one batch that may
+    # replay across the restart boundary. This is the north_rule's
+    # "resumable mid-stream" exercised on the driver path itself (the
+    # kill/resume property is separately forced in tests/test_streaming.py
+    # and tests/test_iceberg_property.py).
     q = sink.start(agg, output_mode="append")
+
+    def _drain():
+        nonlocal q
+        for attempt in range(3):
+            try:
+                q.processAllAvailable()
+                return
+            except Exception:
+                if attempt == 2:
+                    raise
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+                q = sink.start(agg, output_mode="append")
+
     for chunk in sorted(os.listdir(path)):
         if not chunk.startswith("chunk="):
             continue
         source_table.append(
             spark.read.schema(_stream_schema()).parquet(os.path.join(path, chunk))
         )
-        q.processAllAvailable()
-    q.processAllAvailable()  # no-data batch: watermark tail flush
+        _drain()
+    _drain()  # no-data batch: watermark tail flush
     q.stop()
     return sink.read_committed(spark).select(
         "window_start", "window_end", "n_turns", "sum_len", "avg_len"
@@ -410,3 +434,79 @@ def session_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=f"{_SESSION_STREAM_DELAY} seconds",
     )
     return _run_complete(spark, agg, "session_streamed")
+
+
+# LRB4 accident notification as ONE streaming query with TWO chained
+# stateful operators — Saber's defining feature is multi-operator query
+# pipelines over streams (`connectTo`, Query.java:243-264); Spark's
+# analogue is multiple stateful operators in a single plan (supported in
+# append mode since 3.5). Stage 1 (stateful agg): per (600 s window,
+# tool) event counts, kept where n_stopped >= 2 — the "accident" stream.
+# Stage 2 (stream-stream join): the raw tool-turn stream joins accidents
+# whose window immediately precedes the turn's — vehicles entering the
+# segment right after an accident get notified. Watermark propagation
+# delays the agg side's output watermark by the window length so join
+# state on the raw side is retained exactly long enough (SPARK-40925
+# semantics). The agg emits windows with end <= final watermark (0 s
+# delay => max tool-turn ts), which the oracle reproduces.
+_LRB4_STREAM_W = 600
+
+_LRB4_STREAMED_ORACLE = with_transcripts_oracle(f"""
+, acc AS (
+    SELECT tool, CAST(floor(epoch(ts) / {_LRB4_STREAM_W}) AS BIGINT) * {_LRB4_STREAM_W} AS w,
+           count(*) AS n_stopped
+    FROM transcripts WHERE tool <> ''
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+wm AS (SELECT max(epoch(ts)) AS mx FROM transcripts WHERE tool <> '')
+SELECT a.w + {_LRB4_STREAM_W} AS window_start, t.tool, t.conv_id, t.turn_idx, a.n_stopped
+FROM transcripts t JOIN acc a ON a.tool = t.tool
+ AND epoch(t.ts) >= a.w + {_LRB4_STREAM_W}
+ AND epoch(t.ts) <  a.w + {2 * _LRB4_STREAM_W}
+WHERE t.tool <> '' AND a.w + {_LRB4_STREAM_W} <= (SELECT mx FROM wm)
+""")
+
+
+@register("lrb4_notify_streamed", _LRB4_STREAMED_ORACLE)
+def lrb4_notify_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accident notification as a streamed two-stateful-operator DAG:
+    windowed agg (accident detection) chained into a stream-stream join
+    back to the raw turn stream, in one Structured Streaming plan."""
+    w = _LRB4_STREAM_W
+    path = _stage_chunks(spark, sf_dir, "lrb4s")
+    tool_stream = (
+        read_transcript_stream(
+            spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+        )
+        .where(F.col("tool") != "")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    acc = (
+        tool_stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", f"{w} seconds").alias("w"), "tool")
+        .agg(F.count("*").alias("n_stopped"))
+        .where(F.col("n_stopped") >= 2)
+    )
+    raw = (
+        read_transcript_stream(
+            spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+        )
+        .where(F.col("tool") != "")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .select("conv_id", "turn_idx", F.col("tool").alias("r_tool"), "ts")
+    )
+    joined = raw.join(
+        acc,
+        (F.col("r_tool") == acc["tool"])
+        & (F.col("ts") >= F.col("w.end"))
+        & (F.col("ts") < F.col("w.end") + F.expr(f"INTERVAL {w} seconds")),
+        "inner",
+    ).select(
+        F.col("w.end").cast("double").cast("long").alias("window_start"),
+        F.col("r_tool").alias("tool"),
+        "conv_id",
+        "turn_idx",
+        "n_stopped",
+    )
+    return _run_complete(spark, joined, "lrb4_notify_streamed_mem")

@@ -262,3 +262,43 @@ def test_corpus_is_ascii(spark, docs):
     valid only while the corpus is ASCII; guard that assumption."""
     non_ascii = docs.where(F.length("text") != F.octet_length("text")).count()
     assert non_ascii == 0
+
+
+def test_ivf_topk_recall_and_probe_monotonicity(spark, embs):
+    """IVF ANN must (a) lift recall@5 monotonically with n_probes,
+    (b) reach usable recall at the registered setting (3 probes over a
+    ~stride-37 codebook), and (c) at n_probes = |codebook| degenerate to
+    the exact answer restricted to candidate cells (recall 1 — every
+    cell is scanned, the exact ranking is reproduced)."""
+    queries = embs.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in sim.cosine_topk(embs, queries, k=5).collect()
+    }
+    n_cells = sim.ivf_centroids(embs).count()
+
+    def recall(n_probes):
+        got = {
+            (r.query_id, r.nbr_id)
+            for r in sim.ivf_topk(embs, queries, k=5, n_probes=n_probes).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r3, rall = recall(1), recall(3), recall(n_cells)
+    assert r1 <= r3 <= rall, "recall must be monotone in probes"
+    assert r3 >= 0.3, f"recall@5 with 3 probes too low: {r3}"
+    assert rall == 1.0, "probing every cell must reproduce the exact top-k"
+
+
+def test_ivf_prunes_candidate_space(spark, embs):
+    """The inverted-list design must bound per-query work to the probed
+    cells: candidates scored per query ≪ corpus size."""
+    queries = embs.where(F.col("vec_id") < 20)
+    cents = sim.ivf_centroids(embs)
+    assigned = sim._cells_for(embs, cents, 1, "nbr_id", "embedding")
+    cell_sizes = assigned.groupBy("cell_id").count().toPandas()["count"]
+    n = embs.count()
+    # 3 probes → worst case 3 × max cell; must stay well under the corpus
+    assert 3 * cell_sizes.max() < n * 0.6, (
+        f"cells too coarse: max={cell_sizes.max()} of {n}"
+    )

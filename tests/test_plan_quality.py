@@ -141,3 +141,16 @@ def test_cosine_pairs_guard_refuses_large_inputs(spark):
     )
     with pytest.raises(ValueError, match="all-pairs baseline"):
         cosine_pairs(big, guard_rows=100).count()
+
+
+def test_ivf_broadcasts_codebook_and_hash_joins_cells(spark):
+    """IVF's two joins must take opposite physical strategies: the
+    centroid-scoring join broadcasts the tiny codebook against each big
+    side (never shuffling the corpus), while the candidate join
+    (probes × inverted lists) is a cell_id equi-join — hash-partitioned,
+    never a cartesian product. That split is the whole 100-TB design."""
+    plan = _plan(spark, "similarity_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # candidate join keyed on cell_id: an equi-join operator must appear
+    assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 1
