@@ -416,13 +416,9 @@ pred AS (SELECT doc_id,
 
 _STOP_SUM = " + ".join(_count_word_sql(s) for s in tx.STOPWORDS)
 
-# One driver-checked entry covers the whole text-analysis surface —
-# language-ID, quality score, both token counts, and the winnowing
-# fingerprint — as columns of a single pass over the documents table
-# (that is also how a production pipeline runs them: one scan, one
-# projection; each expression still has its exact SQL twin here).
-_TEXT_ORACLE = f"""
-WITH {_W}, {_lang_sql()},
+# quality-score CTEs (SQL twin of textops.quality_score) — shared by the
+# text_analysis entry and the curation pipeline's filter stage
+_QUAL_CTES = f"""
 feat AS (
     SELECT doc_id,
            length(nt) AS n_chars,
@@ -442,7 +438,17 @@ qual AS (
            + (CASE WHEN mean_wl >= 3 AND mean_wl <= 12 THEN 0.25 ELSE 0.0 END), 2)
            AS quality
     FROM feat
-),
+)
+"""
+
+# One driver-checked entry covers the whole text-analysis surface —
+# language-ID, quality score, both token counts, and the winnowing
+# fingerprint — as columns of a single pass over the documents table
+# (that is also how a production pipeline runs them: one scan, one
+# projection; each expression still has its exact SQL twin here).
+_TEXT_ORACLE = f"""
+WITH {_W}, {_lang_sql()},
+{_QUAL_CTES},
 tk AS (
     SELECT w.doc_id AS doc_id,
            CAST(len(words) AS INTEGER) AS ws_tokens,
@@ -513,3 +519,66 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return mm.extract_metadata(media)
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation (operators/curation.py): annotate → filter
+# → exact dedup → near-dup cluster keep-min → stratified sample, value-
+# checked as ONE pipeline. The oracle replays every stage: lang/quality
+# CTEs, md5 keep-min, SimHash pairs restricted to the surviving docs, a
+# recursive-CTE transitive closure, and the portable bucket arithmetic.
+# --------------------------------------------------------------------------
+
+_CURATION_ORACLE = f"""
+WITH RECURSIVE {_W}, {_lang_sql()},
+{_QUAL_CTES},
+ann AS (
+    SELECT w.doc_id AS doc_id, w.nt, d.source AS stratum,
+           p.predicted_lang, q.quality
+    FROM w
+    JOIN pred p USING (doc_id)
+    JOIN qual q USING (doc_id)
+    JOIN documents d ON d.doc_id = w.doc_id
+),
+filt AS (SELECT * FROM ann WHERE quality >= 0.75 AND predicted_lang IN ('en')),
+keeps AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(nt)),
+uniq AS (SELECT f.* FROM filt f JOIN keeps k USING (doc_id)),
+{_simhash_sql_cte()},
+prs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      AND a.doc_id IN (SELECT doc_id FROM uniq)
+      AND b.doc_id IN (SELECT doc_id FROM uniq)
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(node, label) AS (
+    SELECT doc_id, doc_id FROM uniq
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node, min(label) AS cid FROM reach GROUP BY node),
+canon AS (
+    SELECT u.* FROM uniq u JOIN comp c ON c.node = u.doc_id AND c.cid = u.doc_id
+),
+s AS (SELECT canon.*, md5(CAST(doc_id AS VARCHAR)) AS h FROM canon)
+SELECT doc_id, stratum, predicted_lang, quality,
+       ({{BUCKET}}) % 1000 AS bucket
+FROM s
+WHERE ({{BUCKET}}) % 1000 <
+      CASE WHEN CAST(regexp_extract(stratum, '(\\d+)', 1) AS INT) % 2 = 0
+           THEN 800 ELSE 400 END
+""".replace("{BUCKET}", _BUCKET_SQL)
+
+
+@register("curation_pipeline", _CURATION_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline over documents: quality >=
+    0.75 AND lang = 'en' → exact-dedup keep-min → SimHash near-dup
+    clusters keep-min → deterministic source-stratified sample (even
+    sources 80%, odd 40%). One entry value-checks all five stages wired
+    together (operators/curation.py)."""
+    from saber_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir))

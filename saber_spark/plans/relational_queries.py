@@ -147,7 +147,6 @@ WHERE EXISTS (SELECT 1 FROM orders o
 """
 
 
-@register("semi_join_big_spenders", _SEMI_ORACLE)
 def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
@@ -162,7 +161,6 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
-@register("anti_join_customers_without_orders", _ANTI_ORACLE)
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no order above 250k (NOT EXISTS → left_anti)."""
     c = _t(spark, sf_dir, "customer")
@@ -170,6 +168,34 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
+
+
+_SEMI_ANTI_ORACLE = """
+SELECT 'semi' AS mode, c_custkey, c_name AS detail
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+UNION ALL
+SELECT 'anti' AS mode, c_custkey, c_mktsegment AS detail
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+"""
+
+
+@register("semi_anti_join_customers", _SEMI_ANTI_ORACLE)
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join in one driver entry (50-entry consolidation):
+    left_semi (customers WITH a >300k order) and left_anti (customers
+    WITHOUT a >250k order) union-tagged by ``mode``, each keeping its own
+    value-checked rows. The standalone builders stay exported."""
+    semi = semi_join_big_spenders(spark, sf_dir).select(
+        F.lit("semi").alias("mode"), "c_custkey", F.col("c_name").alias("detail")
+    )
+    anti = anti_join_customers_without_orders(spark, sf_dir).select(
+        F.lit("anti").alias("mode"), "c_custkey", F.col("c_mktsegment").alias("detail")
+    )
+    return semi.unionByName(anti)
 
 
 # --------------------------------------------------------------------------

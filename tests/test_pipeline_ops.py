@@ -302,3 +302,41 @@ def test_ivf_prunes_candidate_space(spark, embs):
     assert 3 * cell_sizes.max() < n * 0.6, (
         f"cells too coarse: max={cell_sizes.max()} of {n}"
     )
+
+
+def test_curation_pipeline_stage_invariants(spark, docs):
+    """The composed curation pipeline must (a) be a strict filter chain —
+    every output doc passes the quality/lang gates, is its exact-dup
+    keep-min AND its near-dup cluster minimum, and sits under its
+    stratum's sample rate; (b) be value-deterministic — the same set
+    regardless of input partitioning."""
+    from pyspark.sql import functions as F
+
+    from saber_spark.operators.curation import curate_corpus
+    from saber_spark.operators import textops as txo
+
+    out = curate_corpus(docs).toPandas()
+    n_docs = docs.count()
+    assert 0 < len(out) < n_docs, "must keep a strict, non-empty subset"
+
+    # (a) gates hold on every surviving row
+    assert (out.quality >= 0.75).all()
+    assert (out.predicted_lang == "en").all()
+    src_num = out.stratum.str.extract(r"(\d+)")[0].astype(int)
+    rate = src_num.mod(2).map({0: 800, 1: 400})
+    assert (out.bucket < rate).all()
+
+    # near-dup canonicality: no two survivors within hamming<=3
+    surv = docs.join(
+        spark.createDataFrame(out[["doc_id"]]), "doc_id", "left_semi"
+    )
+    dup_pairs = dd.simhash_pairs(surv, max_hamming=3).count()
+    assert dup_pairs == 0, "survivors must contain no near-dup pair"
+
+    # exact-dup canonicality: all surviving normalized texts distinct
+    n_distinct = surv.select(F.md5(txo.normalize_text("text"))).distinct().count()
+    assert n_distinct == surv.count()
+
+    # (b) partitioning-independence
+    out2 = curate_corpus(docs.repartition(7, "text")).toPandas()
+    assert set(out.doc_id) == set(out2.doc_id)
