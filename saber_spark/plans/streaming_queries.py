@@ -283,15 +283,19 @@ def ysb_windowed_agg_sunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pass
                 q = sink.start(agg, output_mode="append")
 
-    for chunk in sorted(os.listdir(path)):
-        if not chunk.startswith("chunk="):
-            continue
-        source_table.append(
-            spark.read.schema(_stream_schema()).parquet(os.path.join(path, chunk))
-        )
-        _drain()
-    _drain()  # no-data batch: watermark tail flush
-    q.stop()
+    try:
+        for chunk in sorted(os.listdir(path)):
+            if not chunk.startswith("chunk="):
+                continue
+            source_table.append(
+                spark.read.schema(_stream_schema()).parquet(os.path.join(path, chunk))
+            )
+            _drain()
+        _drain()  # no-data batch: watermark tail flush
+    finally:
+        # always stop — a query left running would race the next
+        # invocation's rmtree of the staging/output dirs
+        q.stop()
     return sink.read_committed(spark).select(
         "window_start", "window_end", "n_turns", "sum_len", "avg_len"
     )

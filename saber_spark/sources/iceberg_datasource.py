@@ -93,10 +93,21 @@ def _arrow_schema(schema: "StructType"):
 
 def _read_file_batches(path: str, arrow_schema) -> Iterator:
     """Executor-side: stream one data file as Arrow batches cast to the
-    table schema (column order + TIMESTAMP_NTZ -> session-UTC)."""
+    table schema (column order + TIMESTAMP_NTZ -> session-UTC). Columns
+    the file predates (schema evolution: add_column after this file was
+    written) are filled with nulls, matching IcebergTable.scan()."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pq.read_table(path, columns=arrow_schema.names)
+    present = set(pq.read_schema(path).names)
+    table = pq.read_table(
+        path, columns=[n for n in arrow_schema.names if n in present]
+    )
+    for field in arrow_schema:
+        if field.name not in present:
+            table = table.append_column(
+                field.name, pa.nulls(len(table), type=field.type)
+            )
     yield from table.cast(arrow_schema).to_batches()
 
 
@@ -132,6 +143,11 @@ class IcebergBatchReader(DataSourceReader):
         return [FilePartition(d["file_path"]) for d in files]
 
     def read(self, partition: FilePartition) -> Iterator:
+        # pyspark substitutes [None] for an empty partition list — an
+        # empty table / fully-pruned / no-new-snapshot read must yield
+        # zero rows, not crash on partition.file_path
+        if partition is None:
+            return
         yield from _read_file_batches(partition.file_path, self.arrow_schema)
 
 
@@ -174,6 +190,11 @@ class IcebergStreamReader(DataSourceStreamReader):
         return [FilePartition(p) for p in paths]
 
     def read(self, partition: FilePartition) -> Iterator:
+        # pyspark substitutes [None] for an empty partition list — an
+        # empty table / fully-pruned / no-new-snapshot read must yield
+        # zero rows, not crash on partition.file_path
+        if partition is None:
+            return
         yield from _read_file_batches(partition.file_path, self.arrow_schema)
 
     def commit(self, end: dict) -> None:

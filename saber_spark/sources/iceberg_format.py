@@ -47,6 +47,7 @@ import os
 import shutil
 import time
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -155,6 +156,10 @@ def _file_stats(path: str) -> dict:
     lower: dict = {}
     upper: dict = {}
     nulls: dict = {}
+    # Bounds are only sound if EVERY row group contributed: a column whose
+    # stats are missing/undecodable in any one row group gets NO bounds at
+    # all (pruning on partial bounds would silently drop matching files).
+    incomplete: set = set()
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
         for ci in range(g.num_columns):
@@ -164,21 +169,29 @@ def _file_stats(path: str) -> dict:
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:
+                incomplete.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
+                    incomplete.add(name)
                     continue
             if hasattr(mn, "isoformat"):
-                mn, mx = mn.isoformat(), mx.isoformat()
+                # space separator, not 'T': bounds compare lexicographically
+                # against SQL-literal-style 'YYYY-MM-DD HH:MM:SS' strings
+                mn, mx = mn.isoformat(sep=" "), mx.isoformat(sep=" ")
             if not isinstance(mn, (str, int, float, bool)):
+                incomplete.add(name)
                 continue
             lower[name] = mn if name not in lower else min(lower[name], mn)
             upper[name] = mx if name not in upper else max(upper[name], mx)
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
+    for name in incomplete:
+        lower.pop(name, None)
+        upper.pop(name, None)
     return {
         "record_count": meta.num_rows,
         "file_size_in_bytes": os.path.getsize(path),
@@ -357,7 +370,15 @@ class IcebergTable:
             if rel != ".":
                 for seg in rel.split(os.sep):
                     k, _, val = seg.partition("=")
-                    part_vals[k.removeprefix("__p_")] = val
+                    # Spark Hive-escapes partition directory values
+                    # (%XX for '=', ':', '#', ... and the null marker);
+                    # the manifest must carry the RAW value or identity
+                    # equality pruning silently drops matching files
+                    part_vals[k.removeprefix("__p_")] = (
+                        None
+                        if val == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(val)
+                    )
             for fn in files:
                 if not fn.endswith(".parquet"):
                     continue
@@ -691,6 +712,10 @@ class IcebergTable:
         bounds = source.agg(
             F.min(k0).alias("lo"), F.max(k0).alias("hi")
         ).collect()[0]
+        if bounds["lo"] is None and source.isEmpty():
+            # empty source: MERGE is the identity — bail out before the
+            # no-bounds path below rewrites every live file for nothing
+            return self._snapshot(meta) or {}
         live = list(self._live_files(meta).values())
         affected, carried_n = [], 0
         for d in live:
@@ -791,9 +816,15 @@ class IcebergTable:
             snapshot_id = meta["current-snapshot-id"]
         if snapshot_id == -1:
             return None
-        return next(
-            s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id
+        snap = next(
+            (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None
         )
+        if snap is None:
+            raise ValueError(
+                f"snapshot {snapshot_id} not found in {self.location} — "
+                "it may have been removed by expire_snapshots"
+            )
+        return snap
 
     def _manifest_list(self, meta: dict, snap: dict | None = None) -> list[dict]:
         snap = snap or self._snapshot(meta)
@@ -863,6 +894,22 @@ class IcebergTable:
         meta = self._read_metadata()
         paths: list[str] = []
         for s in meta["snapshots"]:
+            if from_seq < s["sequence-number"] <= to_seq and s["summary"][
+                "operation"
+            ] not in ("append", "replace"):
+                # fail loudly like real Iceberg's incremental scan: a
+                # MERGE/overwrite/delete snapshot in the range means this
+                # table is not an append-only stream source, and a silent
+                # skip would be silent data loss downstream. 'replace'
+                # (compaction) stays silently skippable — it rewrites
+                # bytes, never rows.
+                raise ValueError(
+                    f"snapshot {s['snapshot-id']} in range is "
+                    f"'{s['summary']['operation']}', not 'append' — "
+                    "incremental/streaming reads require append-only "
+                    "history (tail a sink without merge_keys, or re-seed "
+                    "from a full scan)"
+                )
             if (
                 from_seq < s["sequence-number"] <= to_seq
                 and s["summary"]["operation"] == "append"
@@ -926,20 +973,29 @@ class IcebergTable:
             s["summary"].get("saber.commit-tag") == tag for s in self.snapshots()
         )
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(self, older_than_s: float = 3 * 24 * 3600) -> list[str]:
         """Delete data files referenced by NO snapshot (crash-before-commit
-        leftovers). Safe because readers only follow manifests."""
+        leftovers). Safe because readers only follow manifests — BUT a
+        concurrent writer may have staged/renamed its data files and not
+        yet published the snapshot, so only files older than
+        ``older_than_s`` (by mtime; Iceberg's default is likewise 3 days)
+        are eligible. Pass 0 only when no writer can be in flight."""
         meta = self._read_metadata()
         live = set()
         for s in meta["snapshots"]:
             for m in self._manifest_list(meta, s):
                 with open(m["manifest_path"]) as f:
                     live |= {e["data_file"]["file_path"] for e in json.load(f)}
+        cutoff = time.time() - older_than_s
         removed = []
         for root, _dirs, files in os.walk(self.data_dir):
             for fn in files:
                 p = os.path.join(root, fn)
-                if fn.endswith(".parquet") and p not in live:
+                if (
+                    fn.endswith(".parquet")
+                    and p not in live
+                    and os.path.getmtime(p) <= cutoff
+                ):
                     os.unlink(p)
                     removed.append(p)
         return removed

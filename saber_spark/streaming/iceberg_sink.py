@@ -91,6 +91,11 @@ class ExactlyOnceIcebergSink:
         # micro-batch (incl. stateful aggregation) would execute twice
         df.persist()
         try:
+            if df.isEmpty():
+                # nothing to commit — and a MERGE with an empty source
+                # would prune nothing and copy-on-write-rewrite EVERY
+                # live file (a full-table rewrite per idle trigger)
+                return
             if self.event_ts_col and self.event_ts_col in df.columns:
                 lat_ms = (
                     F.lit(time.time())

@@ -218,3 +218,49 @@ def test_stream_starting_offsets_latest_skips_history(spark):
     q.processAllAvailable()
     q.stop()
     assert _keys(spark.table(name)) == _keys(_turns(spark, 2, 3))
+
+
+# -- review regressions (r3) --------------------------------------------------
+
+
+def test_batch_read_fully_pruned_returns_zero_rows(spark):
+    """partitions() == [] makes pyspark call read(None): an empty table
+    and a fully-pruned planner read must both return 0 rows, not crash."""
+    loc = _fresh("empty_read")
+    src = _turns(spark)
+    IcebergTable.create(loc, src)  # created, never appended
+    assert _read(spark, loc).count() == 0
+
+    loc2 = _fresh("pruned_read")
+    t = IcebergTable.create(loc2, src)
+    t.append(src)
+    got = _read(spark, loc2).where(F.col("turn_idx") > 10_000)
+    assert got.count() == 0  # bounds prune EVERY file; filter is pushed
+
+
+def test_batch_read_schema_evolved_table(spark):
+    """Files written before add_column must read back with nulls through
+    the planner-integrated source, like IcebergTable.scan does."""
+    loc = _fresh("evolve_read")
+    src = _turns(spark, 0, 2)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    t.add_column("quality", "double")
+    got = _read(spark, loc)
+    assert "quality" in got.columns
+    rows = got.select("quality").distinct().collect()
+    assert [r["quality"] for r in rows] == [None]
+    assert _keys(got) == _keys(src)
+
+
+def test_stream_raises_on_overwrite_snapshot(spark):
+    """A MERGE/overwrite snapshot inside a streamed range must fail
+    loudly (real Iceberg incremental-scan semantics), never be silently
+    skipped — a silent skip is silent data loss."""
+    loc = _fresh("stream_overwrite")
+    src = _turns(spark, 0, 2)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    t.merge_into(spark, _turns(spark, 1, 3), ["conv_id", "turn_idx"])
+    with pytest.raises(ValueError, match="not 'append'"):
+        t.appended_file_paths(0, 10**9)

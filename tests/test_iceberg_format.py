@@ -189,7 +189,7 @@ def test_crash_before_commit_invisible_then_reclaimed(spark):
     orphan_entries = t._write_data_files(_turns(spark, offset=4), t._read_metadata())
     assert len(orphan_entries) > 0
     assert t.scan(spark).count() == n  # readers never see them
-    removed = t.remove_orphan_files()
+    removed = t.remove_orphan_files(older_than_s=0)  # no writer in flight
     assert {e["file_path"] for e in orphan_entries} == set(removed)
     assert t.scan(spark).count() == n
 
@@ -204,7 +204,7 @@ def test_overwrite_and_expire_snapshots(spark):
     assert _key_set(t.scan(spark)) == _key_set(second)
     t.expire_snapshots(keep_last=1)
     assert len(t.snapshots()) == 1
-    removed = t.remove_orphan_files()  # first append's files now orphaned
+    removed = t.remove_orphan_files(older_than_s=0)  # first append orphaned
     assert len(removed) > 0
     assert _key_set(t.scan(spark)) == _key_set(second)
 
@@ -279,7 +279,7 @@ def test_rewrite_data_files_compaction(spark):
     assert t.incremental(spark, from_snapshot_id=inc_base).count() == 0
     # compacted-away files become orphans after expiry
     t.expire_snapshots(keep_last=1)
-    assert len(t.remove_orphan_files()) > 0
+    assert len(t.remove_orphan_files(older_than_s=0)) > 0
     assert t.scan(spark).count() == rows_before
 
 
@@ -445,7 +445,7 @@ def test_add_files_zero_copy_import(spark):
     t.add_files(paths)
     assert _key_set(t.scan(spark)) == _key_set(src)
     # zero-copy: no data files materialized under the table itself
-    assert t.remove_orphan_files() == []
+    assert t.remove_orphan_files(older_than_s=0) == []
     assert all(os.path.exists(p) for p in paths)
     assert _key_set(t.scan(spark)) == _key_set(src)
     # incremental/streaming sees the imported snapshot as an append
@@ -495,3 +495,55 @@ def test_iceberg_sink_matches_batch_oracle(spark, ice_stream_dir):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+# -- review regressions (r3) --------------------------------------------------
+
+
+def test_orphan_cleanup_spares_recent_files(spark):
+    """remove_orphan_files must never delete files younger than the age
+    cutoff: a concurrent writer may have written its data files but not
+    yet published the snapshot."""
+    loc = _fresh("orphan_age")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    # simulate a crash-before-commit leftover (fresh mtime)
+    stray = os.path.join(t.data_dir, "inflight.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"PAR1")
+    assert t.remove_orphan_files() == []  # default 3-day cutoff spares it
+    removed = t.remove_orphan_files(older_than_s=0)
+    assert stray in removed and not os.path.exists(stray)
+
+
+def test_identity_partition_value_with_special_chars(spark):
+    """Identity partition values containing characters Spark Hive-escapes
+    in directory names (':', '=') must round-trip raw into the manifest,
+    or equality pruning silently drops the matching files."""
+    loc = _fresh("part_escape")
+    src = _turns(spark).withColumn(
+        "tag", F.concat(F.lit("k=v:"), F.col("role"))
+    )
+    t = IcebergTable.create(loc, src, partition_by=[("tag", "identity")])
+    t.append(src)
+    hits = t.files(filters=[("tag", "=", "k=v:user")])
+    assert len(hits) > 0
+    assert all(d["partition"]["tag"].startswith("k=v:") for d in hits)
+    # and the pruned scan still returns the right rows
+    got = t.scan(spark).where(F.col("tag") == "k=v:user")
+    assert got.count() == src.where(F.col("tag") == "k=v:user").count()
+
+
+def test_merge_into_empty_source_is_identity(spark):
+    """MERGE with an empty source must not rewrite any file (it used to
+    copy-on-write the ENTIRE table — a full rewrite per idle trigger)."""
+    loc = _fresh("merge_empty")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    snaps_before = len(t.snapshots())
+    files_before = sorted(d["file_path"] for d in t.files())
+    t.merge_into(spark, src.where(F.lit(False)), ["conv_id", "turn_idx"])
+    assert len(t.snapshots()) == snaps_before  # no new snapshot
+    assert sorted(d["file_path"] for d in t.files()) == files_before
