@@ -514,3 +514,68 @@ def lrb4_notify_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_stopped",
     )
     return _run_complete(spark, joined, "lrb4_notify_streamed_mem")
+
+
+def lrb3_toll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRB3 toll assessment as a THREE-stateful-operator streaming DAG in
+    one Structured Streaming plan: windowed segment-stats aggregation →
+    stream-stream join applying each segment's PREVIOUS-window stats to
+    the current window's turns (conditional toll) → per-(window, conv)
+    toll aggregation. This is Saber's deepest `connectTo` pipeline shape
+    (Query.java:243-264) on the streaming path; Spark chains the three
+    stateful operators under one watermark with SPARK-40925 propagation.
+    Exported builder + batch-parity pytest (not a registry entry — the
+    batch `lrb3_toll_assessment` carries the driver oracle; this builder
+    must equal it on every window the final watermark closed)."""
+    w = 21600  # _LRB3_W: 6h windows, matching the batch shape
+    path = _stage_chunks(spark, sf_dir, "lrb3s")
+
+    def tool_stream():
+        return (
+            read_transcript_stream(
+                spark, f"{path}/chunk=*", max_files_per_trigger=1,
+                schema=_stream_schema(),
+            )
+            .where(F.col("tool") != "")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "0 seconds")
+        )
+
+    seg = (
+        tool_stream()
+        .groupBy(F.window("ts", f"{w} seconds").alias("sw"), "tool")
+        .agg(F.count(F.lit(1)).alias("n_seg"), F.avg("text_len").alias("seg_avg"))
+        .select(F.col("tool").alias("s_tool"), "sw", "n_seg", "seg_avg")
+    )
+    raw = tool_stream().select(
+        "conv_id", F.col("tool").alias("r_tool"), "ts"
+    )
+    toll = (
+        F.when(
+            (F.col("seg_avg") < 28.5) & (F.col("n_seg") >= 21),
+            2 * (F.col("n_seg") - 20) * (F.col("n_seg") - 20),
+        ).otherwise(F.lit(0))
+    )
+    # previous-window join: a turn at ts is tolled by the seg window that
+    # ENDED just before its own window started — ts ∈ [sw.end, sw.end + w)
+    joined = raw.join(
+        seg,
+        (F.col("r_tool") == F.col("s_tool"))
+        & (F.col("ts") >= F.col("sw.end"))
+        & (F.col("ts") < F.col("sw.end") + F.expr(f"INTERVAL {w} seconds")),
+        "inner",
+    ).select("conv_id", "ts", toll.alias("toll"))
+    out = (
+        joined.groupBy(F.window("ts", f"{w} seconds").alias("tw"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("toll").cast("long").alias("toll_total"),
+        )
+        .select(
+            F.col("tw.start").cast("double").cast("long").alias("window_start"),
+            "conv_id",
+            "n_turns",
+            "toll_total",
+        )
+    )
+    return _run_complete(spark, out, "lrb3_toll_streamed_mem")

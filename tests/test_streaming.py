@@ -480,3 +480,36 @@ def test_progress_collector_metrics(spark, stream_dir):
         assert lat.p99.iloc[0] >= lat.p50.iloc[0] >= lat.p5.iloc[0]
     finally:
         spark.streams.removeListener(collector)
+
+
+def test_lrb3_streamed_three_stateful_ops_matches_batch(spark):
+    """The streamed LRB3 chain (windowed agg -> stream-stream join ->
+    windowed agg, three stateful operators in ONE plan) must equal the
+    batch lrb3_toll_assessment on every window the final watermark
+    closed (window_start + 2W <= max tool-turn ts: the seg window AND
+    the turn window must both have finalized)."""
+    from pyspark.sql import functions as F
+
+    from saber_spark.plans.saber_queries import lrb3_toll_assessment, transcripts
+    from saber_spark.plans.streaming_queries import lrb3_toll_streamed
+    from tests.conftest import SF_SMOKE
+
+    w = 21600
+    got = {
+        (r.window_start, r.conv_id, r.n_turns, r.toll_total)
+        for r in lrb3_toll_streamed(spark, SF_SMOKE).collect()
+    }
+    mx = (
+        transcripts(spark, SF_SMOKE)
+        .where(F.col("tool") != "")
+        .agg(F.max(F.col("ts").cast("timestamp").cast("double")))
+        .collect()[0][0]
+    )
+    want = {
+        (r.window_start, r.conv_id, r.n_turns, r.toll_total)
+        for r in lrb3_toll_assessment(spark, SF_SMOKE)
+        .where(F.col("window_start") + w <= mx)
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
