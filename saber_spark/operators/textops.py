@@ -169,3 +169,36 @@ def md5_bucket(col: Column | str, n_buckets: int = 1000) -> Column:
         d = _hex_digit(h, i).cast("long")  # 16^8 > 2^31: accumulate in long
         val = d if val is None else val * 16 + d
     return F.pmod(val, F.lit(n_buckets))
+
+
+#: PII patterns, applied longest/most-specific first so substrings of an
+#: already-redacted span don't double-match (e.g. the last 4 digits of a
+#: redacted card matching the zip-ish rule). Pure regexp_replace chain —
+#: codegens into the scan like every other textop.
+PII_PATTERNS: list[tuple[str, str]] = [
+    # emails before anything that could eat their digits
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # 13-19 digit runs with optional space/dash separators (card-ish)
+    (r"\b(?:\d[ -]?){13,19}\b", "<CARD>"),
+    # SSN-shaped 3-2-4
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    # IPv4 BEFORE phone: dotted octets would otherwise match the
+    # phone shape's dot-separated digit groups
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # phone-ish: optional +country, separators, 7-11 digits total
+    (r"(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}[ .-]?\d{0,4}\b",
+     "<PHONE>"),
+]
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace common PII shapes (emails, card/SSN/phone-like digit runs,
+    IPv4) with typed placeholder tokens — the scrubbing stage of a
+    training-data pipeline. Regex heuristics by design: recall-oriented,
+    deterministic, single pass; a production pipeline layers an NER model
+    behind the same column contract (text in → text out). Pure Catalyst,
+    so it fuses into the scan with the other curation gates."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c

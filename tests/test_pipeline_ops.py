@@ -340,3 +340,38 @@ def test_curation_pipeline_stage_invariants(spark, docs):
     # (b) partitioning-independence
     out2 = curate_corpus(docs.repartition(7, "text")).toPandas()
     assert set(out.doc_id) == set(out2.doc_id)
+
+
+def test_redact_pii_scrubs_and_preserves(spark):
+    """Every PII shape is replaced by its typed token; clean text passes
+    through byte-identical; redaction is idempotent."""
+    from saber_spark.operators.textops import redact_pii
+
+    rows = [
+        ("email", "contact me at jane.doe+spam@example.co.uk today", "<EMAIL>"),
+        ("card", "card 4111 1111 1111 1111 expires soon", "<CARD>"),
+        ("ssn", "ssn is 123-45-6789 ok", "<SSN>"),
+        ("phone", "call +1 (555) 123-4567 now", "<PHONE>"),
+        ("ip", "server at 192.168.10.254 responded", "<IP>"),
+        ("clean", "the quick brown fox jumps over 3 lazy dogs", None),
+    ]
+    df = spark.createDataFrame(rows, "kind string, text string, token string")
+    out = {
+        r.kind: r.red
+        for r in df.select(
+            "kind", "text", redact_pii("text").alias("red")
+        ).collect()
+    }
+    for kind, text, token in rows:
+        if token is None:
+            assert out[kind] == text
+        else:
+            assert token in out[kind], (kind, out[kind])
+            assert not any(ch.isdigit() for ch in out[kind].replace(token, "")), (
+                kind,
+                out[kind],
+            )
+    # idempotent: redacting redacted text changes nothing
+    red = df.select(redact_pii("text").alias("text"))
+    again = {r.t for r in red.select(redact_pii("text").alias("t")).collect()}
+    assert again == {r.text for r in red.collect()}
