@@ -114,7 +114,7 @@ def main() -> None:
     results.rewrite_data_files(spark, min_input_files=2)
     kept = results.current_snapshot_id()
     results.expire_snapshots(keep_last=2)
-    orphans = results.remove_orphan_files()
+    orphans = results.remove_orphan_files(older_than_s=0)  # demo table, no writer in flight
     print(f"[maintain] results table {pre_files} -> {len(results.files())} "
           f"files; {len(orphans)} orphan files reclaimed; time travel to "
           f"{kept}: {results.scan(spark, snapshot_id=kept).count():,} rows")

@@ -176,3 +176,34 @@ def streaming_stream_stream_join(
     if theta is not None:
         cond = cond & theta
     return lw.join(rw, cond, how)
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact dedup on a live stream: first occurrence of each normalized-
+    content hash passes, replicas arriving within the watermark horizon
+    are dropped — curation's exact-dedup stage (operators/dedup.py) as a
+    streaming operator.
+
+    State is bounded by the watermark (``dropDuplicatesWithinWatermark``):
+    a hash is remembered only until the event-time watermark passes its
+    first occurrence + delay, so state size tracks the duplicate-arrival
+    horizon, not the stream's life — the property that makes this viable
+    on an unbounded 10^12-turn ingest, where the batch operator's
+    "groupBy everything ever" is not. Duplicates separated by more than
+    the watermark horizon are NOT caught (re-run the batch exact_dedup in
+    compaction for those — the standard lambda split).
+    """
+    from saber_spark.operators.textops import normalize_text
+
+    hashed = stream.withColumn(
+        "content_hash", F.md5(normalize_text(text_col))
+    ).withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash", *extra_keys]
+    )

@@ -513,3 +513,50 @@ def test_lrb3_streamed_three_stateful_ops_matches_batch(spark):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_exact_dedup_drops_replicas(spark):
+    """Replicas inside the watermark horizon are dropped: a stream
+    unioned with itself (every row duplicated at the same event time)
+    must produce EXACTLY the same output as the un-doubled stream, and
+    no hash may repeat within the horizon. Duplicates farther apart than
+    the watermark legitimately re-pass (state is horizon-bounded)."""
+    import os
+    import shutil
+
+    from saber_spark.plans.streaming_queries import (
+        _TMP,
+        _stage_chunks,
+        _stream_schema,
+    )
+    from saber_spark.streaming.jobs import read_transcript_stream, streaming_exact_dedup
+    from tests.conftest import SF_SMOKE
+
+    path = _stage_chunks(spark, SF_SMOKE, "dedup_stream")
+
+    def src():
+        return read_transcript_stream(
+            spark, f"{path}/chunk=*", max_files_per_trigger=1,
+            schema=_stream_schema(),
+        )
+
+    def run(stream, name):
+        out = streaming_exact_dedup(stream, watermark="30 minutes")
+        ckpt = os.path.join(_TMP, "driver_stream", f"ckpt_{name}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        q = (
+            out.writeStream.outputMode("append").format("memory")
+            .queryName(name).option("checkpointLocation", ckpt).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r.content_hash, r.ts)
+            for r in spark.sql(f"SELECT content_hash, ts FROM {name}").collect()
+        }
+
+    single = run(src(), "dedup_stream_single")
+    doubled = run(src().unionByName(src()), "dedup_stream_doubled")
+    n_in = spark.read.schema(_stream_schema()).parquet(f"{path}/chunk=*").count()
+    assert doubled == single, "doubling the stream must not change the output"
+    assert 0 < len(single) < n_in  # real dedup happened (corpus has dups)
