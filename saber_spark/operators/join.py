@@ -84,7 +84,10 @@ def asof_join(
 ) -> DataFrame:
     """Backward as-of join: for each left row, the values of the latest
     right row with ``right.ts <= left.ts`` (``<`` if strict) on the same
-    key. Matches DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics.
+    key. Matches DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics for
+    non-null timestamps; null-ts rows on EITHER side match nothing (the
+    SQL predicate is NULL) — DuckDB's native ASOF instead pairs NULL ts
+    with NULL ts via its NULLS-LAST sort, a quirk we do not copy.
 
     Single shuffle on ``key``; the sort + running ``last(ignorenulls)``
     happen within partitions (whole-stage codegen window exec).
@@ -92,18 +95,26 @@ def asof_join(
     lcols = left.columns
     # side tag orders right rows before left at equal ts => '<=' semantics
     r_tag, l_tag = (1, 0) if strict else (0, 1)
-    r = right.select(
+    # The right row's values travel as ONE struct so the carried match is
+    # always a single whole row — per-column last(ignorenulls) would
+    # compose values from DIFFERENT right rows when right columns hold
+    # nulls (a stale non-null smearing past the latest row's null).
+    # NULL-ts right rows are dropped: the ASOF predicate l.ts >= r.ts is
+    # never true for them (they would otherwise sort first and "match"
+    # every left row that has no real predecessor).
+    r = right.where(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(r_tag).alias("_side"),
-        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+        F.struct(*[F.col(v) for v in right_values]).alias("_rv"),
         *[F.lit(None).alias(f"_lv_{c}") for c in lcols],
     )
+    rv_type = dict(r.dtypes)["_rv"]
     l = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(l_tag).alias("_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_rv_{v}") for v in right_values],
+        F.lit(None).cast(rv_type).alias("_rv"),
         *[F.col(c).alias(f"_lv_{c}") for c in lcols],
     )
     w = (
@@ -112,16 +123,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(F.col(f"_rv_{v}"), ignorenulls=True).over(w).alias(f"_asof_{v}")
-            for v in right_values
-        ],
+        "*", F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_asof")
     )
     is_left = F.col("_side") == F.lit(l_tag)
     return carried.where(is_left).select(
         *[F.col(f"_lv_{c}").alias(c) for c in lcols],
-        *[F.col(f"_asof_{v}").alias(f"asof_{v}") for v in right_values],
+        *[F.col("_asof")[v].alias(f"asof_{v}") for v in right_values],
     )
 
 

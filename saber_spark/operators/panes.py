@@ -235,10 +235,20 @@ def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
         for name in part_names:
             stat = stat_of[name]
             if stat in ("cnt", "cntc", "sum"):
-                arr = np.zeros(size, dtype=np.float64)
-                # null sum partial (all-null pane) contributes 0 to the
-                # cumsum; the cntc mask restores null at window level
-                arr[idx] = np.nan_to_num(pdf[name].to_numpy(dtype=np.float64))
+                raw = pdf[name].to_numpy()
+                if np.issubdtype(raw.dtype, np.integer):
+                    # integer partials (counts always; sums when Arrow
+                    # delivered null-free int64): accumulate in int64 so
+                    # running sums past 2^53 stay EXACT — float64 cumsum
+                    # here silently rounded, diverging from the fanout
+                    # method and the streaming twin's int64 cumsum
+                    arr = np.zeros(size, dtype=np.int64)
+                    arr[idx] = raw
+                else:
+                    arr = np.zeros(size, dtype=np.float64)
+                    # null sum partial (all-null pane) contributes 0 to the
+                    # cumsum; the cntc mask restores null at window level
+                    arr[idx] = np.nan_to_num(raw.astype(np.float64))
             else:
                 arr = np.full(size, np.nan)
                 arr[idx] = pdf[name].to_numpy(dtype=np.float64)
@@ -258,7 +268,8 @@ def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
             stat = stat_of[name]
             arr = dense[name]
             if stat in ("cnt", "cntc", "sum"):
-                cs = np.concatenate(([0.0], np.cumsum(arr)))
+                zero = 0 if np.issubdtype(arr.dtype, np.integer) else 0.0
+                cs = np.concatenate(([zero], np.cumsum(arr)))
                 lo = np.clip(starts, 0, None)
                 vals = cs[ends + 1] - cs[lo]
             elif stat == "min":

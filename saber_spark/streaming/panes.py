@@ -147,40 +147,43 @@ def streaming_pane_sliding_aggregate(
 
         out = None
         if not pend.empty:
-            pend = pend.sort_values("p").reset_index(drop=True)
+            # SPARSE window recombination: each pane fans out to its
+            # ≤ ceil(np_win/stride) candidate windows and a groupby
+            # merges — cost O(#panes × fanout), independent of the
+            # pane-id SPAN. (The previous dense [min, max] grid let one
+            # far-future timestamp — a bad client clock — inflate the
+            # per-batch allocation to (bad_ts − now)/pane elements for
+            # that key until the watermark caught up.)
             p_arr = pend["p"].to_numpy(dtype="int64")
-            base = int(p_arr[0])
-            grid = int(p_arr[-1]) - base + 1 + (np_win - 1)
-            idx = p_arr - base
-            dense_c = np.zeros(grid, dtype=np.int64)
-            dense_s = np.zeros(grid, dtype=np.int64)
-            dense_mn = np.full(grid, np.nan)
-            dense_mx = np.full(grid, np.nan)
-            dense_c[idx] = pend["c"].to_numpy()
-            dense_s[idx] = pend["s"].to_numpy()
-            dense_mn[idx] = pend["mn"].to_numpy(dtype=np.float64)
-            dense_mx[idx] = pend["mx"].to_numpy(dtype=np.float64)
-
-            ends = np.arange(grid)
-            starts = ends - np_win + 1
-            cs_c = np.concatenate(([0], np.cumsum(dense_c)))
-            cs_s = np.concatenate(([0], np.cumsum(dense_s)))
-            lo = np.clip(starts, 0, None)
-            w_c = cs_c[ends + 1] - cs_c[lo]
-            w_s = cs_s[ends + 1] - cs_s[lo]
-            w_mn = pd.Series(dense_mn).rolling(np_win, min_periods=1).min().to_numpy()
-            w_mx = pd.Series(dense_mx).rolling(np_win, min_periods=1).max().to_numpy()
-
-            abs_start_s = (starts + base) * pane
-            abs_end_s = abs_start_s + size
-            aligned = (starts + base) % stride == 0
-            # emit-once: ends the watermark just passed, not yet emitted
-            emit = (
-                aligned
-                & (w_c > 0)
-                & (abs_end_s * 1000 <= wm_ms)
-                & (abs_end_s * 1000 > emitted_ms)
+            parts = []
+            for k in range(-(-np_win // stride)):
+                w = p_arr // stride - k
+                m = (w * stride + np_win) > p_arr  # pane inside window
+                if not m.any():
+                    continue
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "w": w[m],
+                            "c": pend["c"].to_numpy()[m],
+                            "s": pend["s"].to_numpy()[m],
+                            "mn": pend["mn"].to_numpy()[m],
+                            "mx": pend["mx"].to_numpy()[m],
+                        }
+                    )
+                )
+            cand = (
+                pd.concat(parts, ignore_index=True)
+                .groupby("w", as_index=False)
+                .agg(c=("c", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
             )
+            w_arr = cand["w"].to_numpy(dtype="int64")
+            w_c = cand["c"].to_numpy(dtype="int64")
+            w_s = cand["s"].to_numpy(dtype="int64")
+            abs_start_s = w_arr * stride * pane
+            abs_end_s = abs_start_s + size
+            # emit-once: ends the watermark just passed, not yet emitted
+            emit = (abs_end_s * 1000 <= wm_ms) & (abs_end_s * 1000 > emitted_ms)
             if emit.any():
                 n = int(emit.sum())
                 data = {
@@ -191,8 +194,8 @@ def streaming_pane_sliding_aggregate(
                     data[k] = np.repeat(key[i], n)
                 data["n_rows"] = w_c[emit]
                 data["sum_val"] = w_s[emit]
-                data["min_val"] = w_mn[emit].astype(np.int64)
-                data["max_val"] = w_mx[emit].astype(np.int64)
+                data["min_val"] = cand["mn"].to_numpy(dtype="int64")[emit]
+                data["max_val"] = cand["mx"].to_numpy(dtype="int64")[emit]
                 data["avg_val"] = w_s[emit] / w_c[emit]
                 out = pd.DataFrame(data)
 

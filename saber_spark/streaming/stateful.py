@@ -38,17 +38,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType()),
-        T.StructField("window_id", T.LongType()),
-        T.StructField("n_turns", T.LongType()),
-        T.StructField("sum_val", T.LongType()),
-        T.StructField("min_val", T.LongType()),
-        T.StructField("max_val", T.LongType()),
-        T.StructField("avg_val", T.DoubleType()),
-    ]
-)
+def _output_schema(key: str, key_type: T.DataType) -> T.StructType:
+    """Output schema follows the ``key`` parameter (name AND type) — a
+    fixed conv_id:string field silently broke non-default keys."""
+    return T.StructType(
+        [
+            T.StructField(key, key_type),
+            T.StructField("window_id", T.LongType()),
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("sum_val", T.LongType()),
+            T.StructField("min_val", T.LongType()),
+            T.StructField("max_val", T.LongType()),
+            T.StructField("avg_val", T.DoubleType()),
+        ]
+    )
+
+
+#: default-key schema, kept for callers that import it directly
+OUTPUT_SCHEMA = _output_schema("conv_id", T.StringType())
 
 STATE_SCHEMA = T.StructType(
     [
@@ -112,42 +119,48 @@ def streaming_count_windows(
         src = stream.select(*cols)
         timeout = "NoTimeout"
 
+    # max windows any one pane can belong to (the fan-out bound)
+    k_fan = -(-size_p // stride)
+
     def complete_windows(pend: pd.DataFrame) -> pd.DataFrame:
-        """(window_id, n, s, mn, mx) for every complete window."""
+        """(window_id, n, s, mn, mx) for every complete window.
+
+        SPARSE: each pane fans out to its ≤ k_fan candidate windows and
+        a groupby recombines — cost O(#panes × k_fan), independent of the
+        pane-id SPAN. (A dense [min_pane, max_pane] grid here was a
+        poison pill: one corrupt turn_idx=10^12 row allocated a ~10^11-
+        element grid, OOM-crash-looping the query out of its own state.)
+        Completion is ``n >= size``, not ``==``: an at-least-once
+        upstream can double-deliver a turn, and an overshooting window
+        must still emit rather than stall the eviction frontier forever."""
         if pend.empty:
             return pd.DataFrame(columns=["w", "n", "s", "mn", "mx"])
-        pend = pend.sort_values("p")
-        p_arr = pend["p"].to_numpy(dtype="int64")
-        base = int(p_arr[0])
-        grid = int(p_arr[-1]) - base + 1 + (size_p - 1)
-        idx = p_arr - base
-        dc = np.zeros(grid, dtype=np.int64)
-        ds = np.zeros(grid, dtype=np.int64)
-        dmn = np.full(grid, np.nan)
-        dmx = np.full(grid, np.nan)
-        dc[idx] = pend["c"].to_numpy()
-        ds[idx] = pend["s"].to_numpy()
-        dmn[idx] = pend["mn"].to_numpy(dtype=np.float64)
-        dmx[idx] = pend["mx"].to_numpy(dtype=np.float64)
-        ends = np.arange(grid)
-        starts = ends - size_p + 1
-        cs_c = np.concatenate(([0], np.cumsum(dc)))
-        cs_s = np.concatenate(([0], np.cumsum(ds)))
-        lo = np.clip(starts, 0, None)
-        w_c = cs_c[ends + 1] - cs_c[lo]
-        w_s = cs_s[ends + 1] - cs_s[lo]
-        w_mn = pd.Series(dmn).rolling(size_p, min_periods=1).min().to_numpy()
-        w_mx = pd.Series(dmx).rolling(size_p, min_periods=1).max().to_numpy()
-        ok = ((starts + base) % stride == 0) & (starts + base >= 0) & (w_c == size)
-        return pd.DataFrame(
-            {
-                "w": (starts[ok] + base) // stride,
-                "n": w_c[ok],
-                "s": w_s[ok],
-                "mn": w_mn[ok].astype(np.int64),
-                "mx": w_mx[ok].astype(np.int64),
-            }
+        p = pend["p"].to_numpy(dtype="int64")
+        parts = []
+        for k in range(k_fan):
+            w = p // stride - k
+            keep = (w >= 0) & (w * stride + size_p > p)
+            if not keep.any():
+                continue
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "w": w[keep],
+                        "c": pend["c"].to_numpy()[keep],
+                        "s": pend["s"].to_numpy()[keep],
+                        "mn": pend["mn"].to_numpy()[keep],
+                        "mx": pend["mx"].to_numpy()[keep],
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(columns=["w", "n", "s", "mn", "mx"])
+        gb = (
+            pd.concat(parts, ignore_index=True)
+            .groupby("w", as_index=False)
+            .agg(n=("c", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
         )
+        return gb[gb["n"] >= size].reset_index(drop=True)
 
     def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         timed_out = bool(getattr(state, "hasTimedOut", False))
@@ -167,7 +180,13 @@ def streaming_count_windows(
             state.remove()
             return
 
-        before = complete_windows(pend)
+        # tumbling evicts a window's panes the batch it completes, so
+        # state NEVER holds a complete tumbling window — skip the pass
+        before = (
+            pd.DataFrame(columns=["w"])
+            if stride == size_p
+            else complete_windows(pend)
+        )
         fresh = []
         for pdf in pdfs:
             if pdf.empty:
@@ -248,7 +267,7 @@ def streaming_count_windows(
         if len(done):
             yield pd.DataFrame(
                 {
-                    "conv_id": np.repeat(key_tuple[0], len(done)),
+                    key: np.repeat(key_tuple[0], len(done)),
                     "window_id": done["w"].to_numpy(dtype="int64"),
                     "n_turns": done["n"].to_numpy(dtype="int64"),
                     "sum_val": done["s"].to_numpy(dtype="int64"),
@@ -259,5 +278,9 @@ def streaming_count_windows(
             )
 
     return src.groupBy(key).applyInPandasWithState(
-        fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append", timeout
+        fn,
+        _output_schema(key, stream.schema[key].dataType),
+        STATE_SCHEMA,
+        "append",
+        timeout,
     )

@@ -129,3 +129,58 @@ def test_salting_spreads_hot_key(spark, zipf):
     )
     assert len(spread) == 8
     assert spread["count"].min() > 0.05 * spread["count"].sum()
+
+
+def test_asof_join_null_semantics_match_duckdb(spark):
+    """ASOF carries the WHOLE latest right row: a null value in the
+    latest right row must come through as null (not a stale non-null
+    from an older row), and null-ts rows never match (the predicate
+    l.ts >= r.ts is NULL). Non-null-ts rows are checked against DuckDB's
+    native ASOF JOIN; the null-ts rows are asserted directly because
+    DuckDB's implementation pairs NULL ts with NULL ts (a NULLS-LAST
+    sort artifact we deliberately do not copy)."""
+    import duckdb
+    import pandas as pd
+
+    from saber_spark.operators.join import asof_join
+
+    right_pd = pd.DataFrame(
+        {
+            "k": ["x", "x", "x"],
+            "rts": [1.0, 2.0, None],
+            "a": [7.0, None, 9.0],
+            "b": [None, 3.0, 9.0],
+        }
+    )
+    left_pd = pd.DataFrame({"k": ["x", "x", "x"], "lts": [0.5, 5.0, None]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            key="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_values=["a", "b"],
+        )
+        .toPandas()
+        .sort_values("lts", na_position="first")
+        .reset_index(drop=True)
+    )
+    # null-ts left row: matches nothing (strict predicate semantics)
+    null_row = got[got.lts.isna()]
+    assert len(null_row) == 1
+    assert null_row.asof_a.isna().all() and null_row.asof_b.isna().all()
+    # non-null rows: exact DuckDB ASOF parity, including the whole-row
+    # null carry (lts=5 -> latest right row rts=2 has a=NULL: stays NULL)
+    con = duckdb.connect()
+    con.register("l", left_pd.dropna(subset=["lts"]))
+    con.register("r", right_pd)
+    want = con.execute(
+        """
+        SELECT l.lts, r.a AS asof_a, r.b AS asof_b
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.lts >= r.rts
+        ORDER BY l.lts
+        """
+    ).df().reset_index(drop=True)
+    nn = got[got.lts.notna()].reset_index(drop=True)
+    assert nn[["lts", "asof_a", "asof_b"]].equals(want), f"\ngot:\n{nn}\nwant:\n{want}"

@@ -560,3 +560,100 @@ def test_streaming_exact_dedup_drops_replicas(spark):
     n_in = spark.read.schema(_stream_schema()).parquet(f"{path}/chunk=*").count()
     assert doubled == single, "doubling the stream must not change the output"
     assert 0 < len(single) < n_in  # real dedup happened (corpus has dups)
+
+
+def test_count_windows_survive_duplicate_delivery(spark, tmp_path):
+    """At-least-once upstream: one replayed turn overshoots its window's
+    count (n_turns > size), which must still EMIT (completion is
+    n >= size) — a stalled window would freeze the eviction frontier and
+    strand every later pane of the conversation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from saber_spark.streaming.jobs import read_transcript_stream
+    from saber_spark.streaming.stateful import streaming_count_windows
+
+    src_dir = str(tmp_path / "dup_src")
+    rows = [("c1", i, 10) for i in range(16)] + [("c1", 5, 10)]  # turn 5 twice
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text_len long"
+    ).coalesce(1).write.parquet(os.path.join(src_dir, "chunk=000"))
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, text_len long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/chunk=*")
+    )
+    out = streaming_count_windows(stream, size=16, value_col="text_len")
+    ckpt = str(tmp_path / "dup_ckpt")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("dup_windows").option("checkpointLocation", ckpt).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM dup_windows").collect()
+    assert len(got) == 1
+    assert got[0].n_turns == 17  # overshoot emitted, not stalled
+    assert got[0].sum_val == 170
+
+
+def test_count_windows_with_integer_key(spark, tmp_path):
+    """The key parameter must drive the output schema (name AND type) —
+    a hardcoded conv_id:string field broke any non-default key."""
+    import os
+
+    from saber_spark.streaming.stateful import streaming_count_windows
+
+    src_dir = str(tmp_path / "ikey_src")
+    rows = [(7, i, 5) for i in range(8)]
+    spark.createDataFrame(
+        rows, "user_id long, turn_idx int, text_len long"
+    ).coalesce(1).write.parquet(os.path.join(src_dir, "chunk=000"))
+    stream = (
+        spark.readStream.schema("user_id long, turn_idx int, text_len long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/chunk=*")
+    )
+    out = streaming_count_windows(stream, size=4, key="user_id", value_col="text_len")
+    ckpt = str(tmp_path / "ikey_ckpt")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("ikey_windows").option("checkpointLocation", ckpt).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM ikey_windows").collect()
+    assert {r.user_id for r in got} == {7}
+    assert {r.window_id for r in got} == {0, 1}
+
+
+def test_count_windows_poison_turn_idx_is_bounded(spark, tmp_path):
+    """One corrupt far-out turn_idx (10^12) must not inflate memory: the
+    sparse pane fan-out costs O(#panes), never O(pane-id span). The
+    healthy window still emits; the stray pane just sits in state."""
+    import os
+
+    from saber_spark.streaming.stateful import streaming_count_windows
+
+    src_dir = str(tmp_path / "poison_src")
+    rows = [("c1", i, 1) for i in range(16)] + [("c1", 10**12, 1)]
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, text_len long"
+    ).coalesce(1).write.parquet(os.path.join(src_dir, "chunk=000"))
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx long, text_len long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/chunk=*")
+    )
+    out = streaming_count_windows(stream, size=16, value_col="text_len")
+    ckpt = str(tmp_path / "poison_ckpt")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("poison_windows").option("checkpointLocation", ckpt).start()
+    )
+    q.processAllAvailable()  # a dense grid here would try ~10^12 elements
+    q.stop()
+    got = spark.sql("SELECT * FROM poison_windows").collect()
+    assert len(got) == 1 and got[0].window_id == 0
