@@ -22,11 +22,11 @@ Spark's built-in sliding ``window()`` duplicates each *row* into its
      Fan-out now happens at *pane* granularity — for 100 TB of rows with
      w/s = 12 this is 12× a few thousand pane rows, not 12× the input.
    - ``incremental`` (Arrow-batched ``applyInPandas``, the reference's
-     subtract-on-evict re-expressed as vectorized NumPy): per key, panes
-     are laid on a dense grid; window sums come from one ``cumsum``
-     difference (O(#panes), the add/subtract running aggregate) and
-     MIN/MAX from a rolling extremum (the two-stacks equivalent). No
-     per-row Python; one pandas batch per key.
+     subtract-on-evict re-expressed as vectorized pandas): per key, each
+     pane partial fans out to its ≤⌈w/s⌉ aligned windows and one groupby
+     merges per stat — the running add/subtract aggregate and two-stacks
+     MIN/MAX collapse to O(#panes × fanout) work, independent of the
+     pane-id span. No per-row Python; one pandas batch per key.
 
 AVG partial merge uses sum/cnt — algebraically the reference's
 ``((v1*c2)+(v2*c1))/(c1+c2)`` (``PartialResultSlot.java:190-197``).
@@ -184,13 +184,14 @@ def _recombine_fanout(partials, wd, aggs, part_keys) -> DataFrame:
 
 
 def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
-    """Subtract-on-evict over a dense pane grid inside applyInPandas.
+    """Subtract-on-evict over sparse pane partials inside applyInPandas.
 
-    One Arrow batch per key group; NumPy cumsum difference = the running
-    add/subtract aggregate; pandas rolling min/max = two-stacks. Falls
-    back to a single global group when no keys are given (documented:
-    a global sliding aggregate is a single logical series; the pane
-    partials that feed it are still computed distributed).
+    One Arrow batch per key group; pane→window fan-out + per-stat groupby
+    = the running add/subtract aggregate and two-stacks min/max, at
+    O(#panes × fanout) regardless of pane-id span. Falls back to a
+    single global group when no keys are given (documented: a global
+    sliding aggregate is a single logical series; the pane partials that
+    feed it are still computed distributed).
     """
     import pyspark.sql.types as T
 
@@ -225,63 +226,43 @@ def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
     }
 
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_pane")
-        base = int(pdf["_pane"].iloc[0])
-        last = int(pdf["_pane"].iloc[-1])
-        size = last - base + 1 + (np_win - 1)  # pad tail for partial windows
-        idx = (pdf["_pane"].to_numpy() - base).astype(np.int64)
-
-        dense: dict[str, np.ndarray] = {}
-        for name in part_names:
-            stat = stat_of[name]
-            if stat in ("cnt", "cntc", "sum"):
-                raw = pdf[name].to_numpy()
-                if np.issubdtype(raw.dtype, np.integer):
-                    # integer partials (counts always; sums when Arrow
-                    # delivered null-free int64): accumulate in int64 so
-                    # running sums past 2^53 stay EXACT — float64 cumsum
-                    # here silently rounded, diverging from the fanout
-                    # method and the streaming twin's int64 cumsum
-                    arr = np.zeros(size, dtype=np.int64)
-                    arr[idx] = raw
-                else:
-                    arr = np.zeros(size, dtype=np.float64)
-                    # null sum partial (all-null pane) contributes 0 to the
-                    # cumsum; the cntc mask restores null at window level
-                    arr[idx] = np.nan_to_num(raw.astype(np.float64))
-            else:
-                arr = np.full(size, np.nan)
-                arr[idx] = pdf[name].to_numpy(dtype=np.float64)
-            dense[name] = arr
-
-        # candidate windows END at pane i (inclusive); start = i - np_win + 1
-        ends = np.arange(size)
-        starts = ends - np_win + 1
-        # alignment: absolute start pane must be a multiple of stride
-        aligned = (starts + base) % stride == 0
-        if not allow_negative_starts:
-            aligned &= (starts + base) >= 0
-
-        out: dict[str, np.ndarray] = {}
-        win_cnt = None
-        for name in part_names:
-            stat = stat_of[name]
-            arr = dense[name]
-            if stat in ("cnt", "cntc", "sum"):
-                zero = 0 if np.issubdtype(arr.dtype, np.integer) else 0.0
-                cs = np.concatenate(([zero], np.cumsum(arr)))
-                lo = np.clip(starts, 0, None)
-                vals = cs[ends + 1] - cs[lo]
-            elif stat == "min":
-                # rolling skips NaN (min_periods=1): all-null window → NaN
-                vals = pd.Series(arr).rolling(np_win, min_periods=1).min().to_numpy()
-            else:
-                vals = pd.Series(arr).rolling(np_win, min_periods=1).max().to_numpy()
-            out[name] = vals
-            if stat == "cnt":
-                win_cnt = vals
-
-        keep = aligned & (win_cnt > 0)
+        # SPARSE window recombination: each pane fans out to its
+        # ≤ ceil(np_win/stride) candidate (aligned) windows and a groupby
+        # merges per-stat — cost O(#panes × fanout), independent of the
+        # pane-id SPAN (a dense [min, max] grid OOMs on one corrupt
+        # far-out pane id). Integer partials (counts always; sums when
+        # Arrow delivered null-free int64) merge in int64, so running
+        # sums past 2^53 stay EXACT, matching the fanout method and the
+        # streaming twin; null sum partials (all-null pane) are NaN,
+        # which pandas' sum skips — the cntc mask restores window-level
+        # null below.
+        p = pdf["_pane"].to_numpy(dtype=np.int64)
+        frames = []
+        for k in range(-(-np_win // stride)):
+            w = p // stride - k
+            m = (w * stride + np_win) > p  # pane inside window
+            if not allow_negative_starts:
+                m &= w >= 0
+            if not m.any():
+                continue
+            d = {"_wid": w[m]}
+            for name in part_names:
+                d[name] = pdf[name].to_numpy()[m]
+            frames.append(pd.DataFrame(d))
+        if frames:
+            merge_of = {"cnt": "sum", "cntc": "sum", "sum": "sum",
+                        "min": "min", "max": "max"}
+            gb = (
+                pd.concat(frames, ignore_index=True)
+                .groupby("_wid", as_index=False)
+                .agg(**{n: (n, merge_of[stat_of[n]]) for n in part_names})
+                .sort_values("_wid")
+            )
+        else:
+            gb = pd.DataFrame(columns=["_wid", *part_names])
+        out = {name: gb[name].to_numpy() for name in part_names}
+        n_win = len(gb)
+        keep = np.ones(n_win, dtype=bool)  # every candidate has >=1 row
 
         def masked(vals: np.ndarray, mask: np.ndarray | None, alias: str):
             """Window values → column, null where mask is False / val NaN."""
@@ -292,9 +273,9 @@ def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
             # all-null window is NULL, never NaN)
             return s.astype("Int64" if alias in int_aliases else "Float64")
 
-        res = {"_w": starts[keep] + base}
+        res = {"_w": gb["_wid"].to_numpy(dtype=np.int64) * stride}
         for k in part_keys:
-            res[k] = np.repeat(pdf[k].iloc[0], keep.sum())
+            res[k] = np.repeat(pdf[k].iloc[0], n_win)
         for alias, fn, src in agg_specs:
             if fn == "cnt" and src == "*":
                 res[alias] = out["_cnt"][keep].astype(np.int64)

@@ -12,10 +12,10 @@ Reference semantics re-expressed (``WindowBatch.java:352-643``,
   reference's intermediate result slots). State is typed array columns,
   not an opaque blob, so the state store tracks real sizes;
 - a window emits exactly once, when the **event-time watermark** passes
-  its end: window values come from a cumsum difference / rolling
-  extremum over the pane grid (the add/subtract running aggregate and
-  two-stacks min-max of ``Aggregation.java:1042-1168``) — never a
-  re-scan of rows;
+  its end: window values come from a sparse pane→window fan-out +
+  per-stat groupby (the add/subtract running aggregate and two-stacks
+  min-max of ``Aggregation.java:1042-1168``) — never a re-scan of rows,
+  and never an allocation proportional to the pane-id span;
 - panes are **evicted** once the last window containing them has
   emitted (the reference frees result slots the same way,
   ``ResultAggregator.java:211-216``), so state per key is bounded by
