@@ -30,6 +30,12 @@ state proportional to the corpus on any single node.
 Reference analogue: none — lsds/Saber has no data-curation surface;
 this is the task-brief "large-scale training-data pipeline" composition
 built from its re-expressed operator set.
+
+Sibling stages not wired in by default: ``textops.redact_pii`` (PII
+scrubbing — slot it into the annotate projection when the corpus needs
+it) and ``streaming/jobs.py::streaming_exact_dedup`` (the exact-dedup
+stage for a LIVE ingest, watermark-bounded state; this batch pipeline
+is its compaction-time complement).
 """
 
 from __future__ import annotations
