@@ -474,9 +474,10 @@ def run_slide_sweep(sf_dir: str, cpus: int = 32) -> None:
         f.write(
             "\nThe built-in path replicates every row into its windows/row\n"
             "window instances before aggregating (cost grows with size/slide);\n"
-            "pane-incremental touches each pane once and stays flat; pane\n"
-            "fanout replicates pane partials — a win whenever #rows exceeds\n"
-            "#panes x size/slide (production density), neutral at sparse SF.\n"
+            "the pane paths replicate pane PARTIALS instead of rows, so their\n"
+            "fan-out work is O(#panes x size/slide) — a win whenever #rows\n"
+            "exceeds #panes (production density), with pane-incremental\n"
+            "merging per key inside one Arrow batch instead of a shuffle.\n"
         )
     print(json.dumps({"rows": rows, "written": path}))
 
