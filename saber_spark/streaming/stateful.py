@@ -82,6 +82,7 @@ def streaming_count_windows(
     ts_col: str = "ts",
     ttl_s: int | None = None,
     watermark: str = "0 seconds",
+    max_window_lag: int | None = 4096,
 ) -> DataFrame:
     """Count windows of ``size`` turns sliding by ``slide`` (default:
     tumbling) per conversation.
@@ -90,18 +91,33 @@ def streaming_count_windows(
     ``ttl_s`` is set — ``ts_col`` for the event-time watermark that
     drives state expiry. Output emits one row per *completed* window
     with CNT/SUM/MIN/MAX/AVG; ``window_id`` is start/slide (the batch
-    row-window convention)."""
+    row-window convention).
+
+    ``max_window_lag`` bounds sliding-window state against poison gaps:
+    the eviction frontier normally advances only through COMPLETE
+    windows, so a hole in turn_idx (a dropped/corrupt turn) leaves one
+    window that never completes and would otherwise pin every later
+    pane in state forever. When the newest complete window runs more
+    than ``max_window_lag`` windows ahead of the frontier, the stalled
+    windows are ABANDONED (they can never emit — their panes evict) and
+    the frontier jumps to (newest - max_window_lag). The trade is
+    explicit: a window whose missing turn arrives later than
+    size + max_window_lag·slide turns out of order is dropped rather
+    than kept as immortal state. None disables the bound (bounded
+    replays / parity tests)."""
     slide = size if slide is None else slide
     if not (0 < slide <= size):
         raise ValueError(f"need 0 < slide <= size, got {size=} {slide=}")
-    if slide < size and ttl_s is None:
+    if slide < size and ttl_s is None and max_window_lag is None:
         import warnings
 
         warnings.warn(
             "sliding count windows keep one frontier row per conversation "
             "forever when ttl_s is unset (the eviction frontier must survive "
-            "quiet periods); fine for bounded replays, but set ttl_s on an "
-            "unbounded stream so dead conversations free their state",
+            "quiet periods) and unbounded pane state behind a permanently-"
+            "incomplete window when max_window_lag is None; fine for bounded "
+            "replays, but set ttl_s and/or max_window_lag on an unbounded "
+            "stream",
             stacklevel=2,
         )
     g = math.gcd(size, slide)
@@ -231,6 +247,15 @@ def streaming_count_windows(
         frontier = int(frontier)
         while frontier in after_w:
             frontier += 1
+        if max_window_lag is not None and len(after):
+            newest = int(after["w"].max())
+            if newest - frontier > max_window_lag:
+                # poison-gap bound: windows stalled more than
+                # max_window_lag behind the newest COMPLETE window are
+                # abandoned (docstring trade) — their panes evict below
+                frontier = newest - max_window_lag
+                while frontier in after_w:
+                    frontier += 1
         if not pend.empty:
             p_arr = pend["p"].to_numpy(dtype="int64")
             if stride == size_p:

@@ -290,6 +290,53 @@ def test_ivf_topk_recall_and_probe_monotonicity(spark, embs):
     assert rall == 1.0, "probing every cell must reproduce the exact top-k"
 
 
+def test_ivf_kmeans_codebook(spark, embs):
+    """The Lloyd's-fitted codebook must (a) keep the (cell_id, _cv, _cn)
+    contract so it drops into ivf_topk, (b) still satisfy the
+    probe-everything == exact invariant (the codebook changes WHICH
+    cells exist, never the verification math), and (c) produce a
+    non-degenerate partition of the corpus."""
+    queries = embs.where(F.col("vec_id") < 20)
+    km = sim.ivf_centroids_kmeans(embs, iters=2)
+    n_cells = km.count()
+    assert n_cells > 1
+    assert set(km.columns) == {"cell_id", "_cv", "_cn"}
+    exact = {
+        (r.query_id, r.nbr_id)
+        for r in sim.cosine_topk(embs, queries, k=5).collect()
+    }
+    got_all = {
+        (r.query_id, r.nbr_id)
+        for r in sim.ivf_topk(
+            embs, queries, k=5, n_probes=n_cells, centroids=km
+        ).collect()
+    }
+    assert got_all == exact, "probing every k-means cell must be exact"
+    assigned = sim._cells_for(embs, km, 1, "nbr_id", "embedding")
+    sizes = assigned.groupBy("cell_id").count().toPandas()["count"]
+    assert sizes.max() < embs.count(), "k-means collapsed to one cell"
+
+
+def test_cosine_topk_guard_refuses_large_query_side(spark, embs):
+    """Brute-force top-k must fail loudly when the query side exceeds the
+    guard (a silent quadratic at scale), and pass when bypassed."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="guard_rows"):
+        sim.cosine_topk(embs, embs, k=5, guard_rows=10)
+
+
+def test_ivf_centroids_empty_codebook_raises(spark):
+    """Non-dense ids where no id hits the stride must raise, not silently
+    return an empty codebook (→ zero-row top-k)."""
+    import pytest as _pytest
+
+    rows = [(i, [float(i)] * sim.DIM) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    with _pytest.raises(ValueError, match="stride"):
+        sim.ivf_centroids(df, stride=37)
+
+
 def test_ivf_prunes_candidate_space(spark, embs):
     """The inverted-list design must bound per-query work to the probed
     cells: candidates scored per query ≪ corpus size."""

@@ -83,6 +83,20 @@ def test_hot_queries_have_no_python_row_udfs(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_ivf_assignment_partial_aggregates_without_window(spark):
+    """The IVF base-corpus cell assignment must be a map-side-combinable
+    max_by aggregate, NOT a row_number window: a window cannot partial-
+    aggregate, so it would shuffle the full |corpus| × |codebook| scored
+    expansion at 100 TB instead of one row per vector."""
+    from saber_spark.operators import similarity as sim
+
+    spark_df = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    cents = sim.ivf_centroids(spark_df)
+    plan = _plan_of(sim._cells_for(spark_df, cents, 1, "nbr_id", "embedding"))
+    assert "Window" not in plan, "assignment regressed to a window exchange"
+    assert "partial_max_by" in plan, "assignment lost map-side combine"
+
+
 def test_simhash_pairs_uses_hash_joins_not_nested_loop(spark):
     plan = _plan(spark, "dedup_simhash_pairs")
     assert "BroadcastNestedLoopJoin" not in plan

@@ -358,6 +358,76 @@ def test_count_window_gap_does_not_block_later_windows(spark):
     assert (got.n_turns == 16).all()
 
 
+@pytest.mark.parametrize("lag", [3, None])
+def test_sliding_count_window_poison_gap_lag_bound(spark, lag):
+    """SLIDING count windows share panes, so eviction runs behind an
+    all-complete frontier — and one missing turn stalls that frontier
+    forever, pinning every later pane in state (round-3 advice).
+    ``max_window_lag`` abandons windows stalled more than N windows
+    behind the newest complete one. A/B over the same stream with a
+    very-late arrival of the missing turn:
+
+    - lag=3: the stalled windows' panes were evicted at the jump, so the
+      late turn CANNOT resurrect them — windows 3,4 never emit (the
+      documented trade), everything else does, state stays bounded.
+    - lag=None (unbounded, the old behavior): the panes were retained,
+      the late turn completes windows 3 and 4 — proving the bound is
+      what does the abandoning."""
+    import datetime as dt
+
+    from saber_spark.streaming.stateful import streaming_count_windows as scw
+    import pyspark.sql.types as T
+
+    base = dt.datetime(2024, 1, 1)
+    tag = f"poison_{lag}"
+    tmp = os.path.join(TMP, f"{tag}_stream")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(os.path.join(TMP, f"ckpt_{tag}"), ignore_errors=True)
+    os.makedirs(tmp)
+
+    def rows(turns, t0):
+        return [("A", i, 10 + i, base + dt.timedelta(seconds=t0 + i)) for i in turns]
+
+    # size=4/slide=2: window w = turns [2w, 2w+4). Turn 9 is missing, so
+    # windows 3 [6,10) and 4 [8,12) stall; 0..2 and 5..13 complete.
+    chunks = [
+        rows(range(0, 8), 0),
+        rows([8], 100) + rows(range(10, 30), 100),
+        rows([9], 300),  # the missing turn, very late
+    ]
+    schema = "conv_id string, turn_idx int, text_len long, ts timestamp"
+    for k, ch in enumerate(chunks):
+        spark.createDataFrame(ch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, f"chunk={k:03d}"))
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("conv_id", T.StringType()),
+                    T.StructField("turn_idx", T.IntegerType()),
+                    T.StructField("text_len", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/chunk=*")
+    )
+    out = scw(stream, size=4, slide=2, value_col="text_len", max_window_lag=lag)
+    q = _run_to_memory(out, tag, "append")
+    try:
+        got = spark.sql(f"SELECT window_id, n_turns FROM {tag}").toPandas()
+    finally:
+        q.stop()
+    emitted = set(got.window_id.tolist())
+    if lag is None:
+        assert emitted == set(range(0, 14)), emitted
+    else:
+        assert emitted == {0, 1, 2} | set(range(5, 14)), emitted
+    assert (got.n_turns >= 4).all()
+
+
 def test_streaming_pane_sliding_parity(spark, stream_dir):
     """The streaming pane operator (applyInPandasWithState subtract-on-
     evict) must emit exactly the windows the batch pane layer produces,
