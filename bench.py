@@ -58,14 +58,21 @@ METRIC_WORKLOAD = ("ysb_windowed_agg", "cm1_pane_incremental")
 
 def _headline_builders(qs: dict) -> dict:
     """Registry queries + shapes consolidated out of the 50-entry registry
-    that the bench still times (they remain exported builders)."""
-    from saber_spark.plans.saber_queries import cm1_pane_fanout
-
-    from saber_spark.plans.saber_queries import row_window_sliding_agg
+    that the bench still times (they remain exported builders; the r4
+    rotation moved cm1_pane_incremental, theta_join_hot_salted and
+    theta_join_row_window behind union-tagged driver entries)."""
+    from saber_spark.plans.saber_queries import (
+        cm1_pane_fanout,
+        cm1_pane_incremental,
+        row_window_sliding_agg,
+        theta_join_hot_salted,
+        theta_join_row_window,
+    )
 
     out = dict(qs)
-    out["cm1_pane_fanout"] = cm1_pane_fanout
-    out["row_window_sliding_agg"] = row_window_sliding_agg
+    for fn in (cm1_pane_fanout, cm1_pane_incremental, row_window_sliding_agg,
+               theta_join_hot_salted, theta_join_row_window):
+        out.setdefault(fn.__name__, fn)
     return out
 
 

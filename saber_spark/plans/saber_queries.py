@@ -307,13 +307,18 @@ WHERE a.role = 'assistant' AND b.role = 'tool'
 """)
 
 
-@register("theta_join_row_window", _THETA_ROW_ORACLE)
 def theta_join_row_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ThetaJoin with ROW-window eviction: each assistant turn joins only
     tool turns within 8 turns of it in the same conversation — the
     reference's count-based join window (ThetaJoin.java:171-196,
     WindowDefinition ROW_BASED) as a turn-distance join bound. Same
-    single-shuffle equi-join shape as the time-bounded variant."""
+    single-shuffle equi-join shape as the time-bounded variant.
+
+    Rotated out of the 50-entry registry in round 4 (green CORRECTNESS
+    rows in r2+r3; its slot now carries the late-data accounting entry).
+    The oracle check stays alive in tests/test_saber_queries_extra
+    coverage via _THETA_ROW_ORACLE below, the plan assertion in
+    tests/test_plan_quality.py, and bench.py still times the shape."""
     t = transcripts(spark, sf_dir)
     a = t.where(cmp("role", "=", "assistant")).select(
         F.col("conv_id"), F.col("turn_idx").alias("a_turn"),
@@ -425,25 +430,58 @@ def _cm1_input(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cm1_pane_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CM1 via pane partials + pane-level window fan-out (pure Catalyst:
-    two hash aggregates; shuffle volume ∝ #panes, not #rows × w/s).
-
-    Not a registry entry (50-entry consolidation): the fanout strategy
-    keeps a driver-green row through sg1_global_sliding_avg (same
-    method, keyless) and bit-parity pytest coverage vs the built-in
-    window() in tests/test_panes.py; bench.py still times this shape."""
+    two hash aggregates; shuffle volume ∝ #panes, not #rows × w/s)."""
     return pane_windowed_aggregate(
         _cm1_input(spark, sf_dir), WindowDef(RANGE, 3600, 300),
         _CM1_AGGS, keys=["tool"], method="fanout")
 
 
-@register("cm1_pane_incremental", _CM1_ORACLE)
 def cm1_pane_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CM1 via pane partials + subtract-on-evict running aggregate in an
     Arrow-batched applyInPandas (reference Aggregation.java:607-653
-    re-expressed as NumPy cumsum / rolling extrema)."""
+    re-expressed as NumPy cumsum / rolling extrema). Driver-checked
+    through cm1_pane_strategies; still the bench metric-workload shape."""
     return pane_windowed_aggregate(
         _cm1_input(spark, sf_dir), WindowDef(RANGE, 3600, 300),
         _CM1_AGGS, keys=["tool"], method="incremental")
+
+
+# Both pane strategies in ONE driver row (r4 registry rotation, closing
+# round 3's evidence gap: cm1_pane_fanout previously had no CORRECTNESS
+# row of its own): each strategy's full result is tagged and unioned, so
+# the value-hash check verifies fanout AND incremental produce the exact
+# CM1 window set — same discipline as row_window_aggs.
+_CM1_STRATEGIES_ORACLE = with_transcripts_oracle("""
+, cm AS (
+    SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - r.k) * 300        AS window_start,
+           (CAST(floor(epoch(ts) / 300) AS BIGINT) - r.k) * 300 + 3600 AS window_end,
+           tool,
+           count(*)                                                     AS n_turns,
+           avg(length(text))                                            AS avg_len,
+           CAST(max(length(text)) AS BIGINT)                            AS max_len
+    FROM transcripts, range(0, 12) AS r(k)
+    WHERE tool <> ''
+    GROUP BY 1, 2, 3
+)
+SELECT 'incremental' AS strategy, * FROM cm
+UNION ALL
+SELECT 'fanout' AS strategy, * FROM cm
+""")
+
+
+@register("cm1_pane_strategies", _CM1_STRATEGIES_ORACLE)
+def cm1_pane_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM1 through BOTH pane strategies, strategy-tagged and unioned:
+    'incremental' (pane partials + subtract-on-evict Arrow kernel,
+    panes.py:187-300) and 'fanout' (pane partials + pane-level window
+    fan-out, pure Catalyst). One driver row value-checks that the two
+    physical strategies agree bit-for-bit with the sliding-window
+    semantics."""
+    inc = cm1_pane_incremental(spark, sf_dir).select(
+        F.lit("incremental").alias("strategy"), "*")
+    fan = cm1_pane_fanout(spark, sf_dir).select(
+        F.lit("fanout").alias("strategy"), "*")
+    return inc.unionByName(fan)
 
 
 # --------------------------------------------------------------------------
@@ -502,11 +540,10 @@ def w2_projection_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def theta_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-salting variant — identical semantics and oracle as
-    theta_join_hot_salted, which is the canonical registered form
-    (50-entry consolidation); parity + replication pytest coverage in
-    tests/test_skew_and_synth.py keeps this path verified, and bench.py
-    still times it in the scaling workload."""
+    """Full-salting variant — identical semantics and oracle as the
+    hot-key form; driver-checked through theta_join_salted_strategies,
+    parity + replication pytest coverage in tests/test_skew_and_synth.py,
+    and bench.py times it in the scaling workload."""
     from saber_spark.operators.join import salted_equi_join
 
     t = transcripts(spark, sf_dir)
@@ -529,12 +566,12 @@ def theta_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "a_turn", "b_turn", "a_len", "b_len")
 
 
-@register("theta_join_hot_salted", _THETA_ORACLE)
 def theta_join_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics/oracle as theta_join_windowed, but skew handling
     salts ONLY keys above a frequency threshold (two-pass hot-key
     detection, operators/join.py hot_key_salted_join) — replication cost
-    is paid for the Zipf head alone, not for every key."""
+    is paid for the Zipf head alone, not for every key. Driver-checked
+    through theta_join_salted_strategies; still a bench headline shape."""
     from saber_spark.operators.join import hot_key_salted_join
 
     t = transcripts(spark, sf_dir)
@@ -555,6 +592,46 @@ def theta_join_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(a["conv_id"].alias("conv_id"),
                          "a_turn", "b_turn", "a_len", "b_len")
+
+
+# Both skew strategies in ONE driver row (r4 registry rotation: full
+# salting previously had no CORRECTNESS row of its own) — each variant's
+# full join result is tagged and unioned; the value-hash check verifies
+# full-salting AND hot-key-only salting reproduce the unsalted theta-join
+# semantics exactly.
+_THETA_SALTED_ORACLE = with_transcripts_oracle("""
+, tj AS (
+    SELECT a.conv_id      AS conv_id,
+           a.turn_idx     AS a_turn,
+           b.turn_idx     AS b_turn,
+           length(a.text) AS a_len,
+           length(b.text) AS b_len
+    FROM transcripts a
+    JOIN transcripts b
+      ON a.conv_id = b.conv_id
+     AND abs(epoch(a.ts) - epoch(b.ts)) <= 21600
+     AND length(a.text) > length(b.text)
+    WHERE a.role = 'assistant' AND b.role = 'tool'
+)
+SELECT 'full' AS salting, * FROM tj
+UNION ALL
+SELECT 'hot' AS salting, * FROM tj
+""")
+
+
+@register("theta_join_salted_strategies", _THETA_SALTED_ORACLE)
+def theta_join_salted_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed theta join through BOTH skew strategies, tagged and
+    unioned: 'full' (every key salted over 8 buckets, join.py
+    salted_equi_join) and 'hot' (two-pass hot-key detection, replication
+    restricted to the Zipf head, join.py hot_key_salted_join). One
+    driver row value-checks that both salting plans are semantics-
+    preserving."""
+    full = theta_join_salted(spark, sf_dir).select(
+        F.lit("full").alias("salting"), "*")
+    hot = theta_join_hot_salted(spark, sf_dir).select(
+        F.lit("hot").alias("salting"), "*")
+    return full.unionByName(hot)
 
 
 # --------------------------------------------------------------------------

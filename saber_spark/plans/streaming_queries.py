@@ -103,12 +103,18 @@ def _run_complete(spark: SparkSession, df: DataFrame, name: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=out.schema)
 
 
-@register("ysb_windowed_agg_streamed", _YSB_ORACLE)
 def ysb_windowed_agg_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The YSB flagship executed as a Structured Streaming job (file
     source in 4 chronological micro-batch groups, complete mode) —
     streaming path checked against the same DuckDB oracle as the batch
-    plan."""
+    plan.
+
+    Rotated out of the 50-entry registry in round 4 (green CORRECTNESS
+    rows in r2+r3): ysb_windowed_agg_sunk subsumes it — the same YSB
+    stream driver-checked through the FULL Iceberg loop (table → stream
+    → agg → exactly-once sink → snapshot scan) rather than a memory
+    sink. Its slot now carries lrb3_toll_streamed, the deepest streamed
+    DAG. The builder stays exported with pytest coverage."""
     path = _stage_chunks(spark, sf_dir, "ysb")
     stream = read_transcript_stream(
         spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
@@ -141,19 +147,17 @@ def row_window_streamed_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-based TUMBLING windows as a custom stateful streaming
     operator (applyInPandasWithState keyed on conv_id); completed
     windows only — the oracle filters to full windows accordingly.
-
-    Not a registry entry (50-entry consolidation): tumbling is the
-    slide==size special case of the registered row_window_sliding_streamed
-    (same operator, streaming/stateful.py), and the tumbling state path
-    keeps pytest coverage in tests/test_streaming.py."""
+    Driver-checked through row_window_streamed (mode='tumbling');
+    the tumbling state path also keeps pytest coverage in
+    tests/test_streaming.py."""
     path = _stage_chunks(spark, sf_dir, "cw")
     stream = read_transcript_stream(
         spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
     ).select("conv_id", "turn_idx", "text_len")
     out = streaming_count_windows(stream, size=16, value_col="text_len").select(
-        "conv_id", "window_id", "n_turns", "sum_val"
+        "conv_id", "window_id", "n_turns", "sum_val", "max_val"
     )
-    return _run_complete(spark, out, "row_window_streamed")
+    return _run_complete(spark, out, "row_window_streamed_tum")
 
 
 # Sliding ROW windows on the stream (reference WindowDefinition.java:5-18;
@@ -173,11 +177,11 @@ HAVING count(*) = 16
 """)
 
 
-@register("row_window_sliding_streamed", _COUNTWIN_SLIDE_STREAM_ORACLE)
 def row_window_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding count windows (16 turns / slide 4) as the stateful pane
     operator: per-conversation pane partials in typed state, a window
-    emits when its turn count reaches the window size."""
+    emits when its turn count reaches the window size. Driver-checked
+    through row_window_streamed (mode='sliding')."""
     path = _stage_chunks(spark, sf_dir, "cws")
     stream = read_transcript_stream(
         spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
@@ -186,6 +190,53 @@ def row_window_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id", "window_id", "n_turns", "sum_val", "max_val"
     )
     return _run_complete(spark, out, "row_window_sliding_streamed_mem")
+
+
+# Tumbling AND sliding stateful row windows in ONE driver row (r4 registry
+# rotation: the tumbling streamed path previously had no CORRECTNESS row) —
+# each mode runs its own real stream through the applyInPandasWithState
+# operator; results are mode-tagged and unioned against one oracle.
+_ROWWIN_STREAMED_ORACLE = with_transcripts_oracle("""
+, tum AS (
+    SELECT conv_id,
+           CAST(floor(turn_idx / 16) AS BIGINT)  AS window_id,
+           count(*)                              AS n_turns,
+           CAST(sum(length(text)) AS BIGINT)     AS sum_val,
+           CAST(max(length(text)) AS BIGINT)     AS max_val
+    FROM transcripts
+    GROUP BY 1, 2
+    HAVING count(*) >= 16
+),
+sli AS (
+    SELECT conv_id,
+           CAST(floor(turn_idx / 4) AS BIGINT) - r.k AS window_id,
+           count(*)                                   AS n_turns,
+           CAST(sum(length(text)) AS BIGINT)          AS sum_val,
+           CAST(max(length(text)) AS BIGINT)          AS max_val
+    FROM transcripts, range(0, 4) AS r(k)
+    WHERE CAST(floor(turn_idx / 4) AS BIGINT) - r.k >= 0
+      AND turn_idx < (CAST(floor(turn_idx / 4) AS BIGINT) - r.k) * 4 + 16
+    GROUP BY 1, 2
+    HAVING count(*) = 16
+)
+SELECT 'tumbling' AS mode, * FROM tum
+UNION ALL
+SELECT 'sliding' AS mode, * FROM sli
+""")
+
+
+@register("row_window_streamed", _ROWWIN_STREAMED_ORACLE)
+def row_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW (count) windows on the stream in BOTH forms, mode-tagged:
+    'tumbling' (16-turn disjoint windows, per-window eviction) and
+    'sliding' (16-turn window / 4-turn slide, frontier eviction) —
+    the custom stateful operator streaming/stateful.py executed twice
+    over real micro-batched streams and value-checked in one row."""
+    tum = row_window_streamed_stateful(spark, sf_dir).select(
+        F.lit("tumbling").alias("mode"), "*")
+    sli = row_window_sliding_streamed(spark, sf_dir).select(
+        F.lit("sliding").alias("mode"), "*")
+    return tum.unionByName(sli)
 
 
 # YSB through the EXACTLY-ONCE ICEBERG SINK, end to end: stream ->
@@ -516,6 +567,37 @@ def lrb4_notify_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete(spark, joined, "lrb4_notify_streamed_mem")
 
 
+# LRB3 streamed: the three-stateful-op chain emits exactly the turn
+# windows the final watermark closed — window_start + W <= max tool-turn
+# ts (0 s delay), the same rule the batch-parity pytest proves. The
+# oracle is the batch LRB3 pipeline restricted to that window set.
+_LRB3_SW = 21600
+
+_LRB3_STREAMED_ORACLE = with_transcripts_oracle(f"""
+, seg AS (
+    SELECT tool, CAST(floor(epoch(ts) / {_LRB3_SW}) AS BIGINT) * {_LRB3_SW} AS w,
+           count(*) AS n_seg, avg(length(text)) AS seg_avg
+    FROM transcripts WHERE tool <> '' GROUP BY 1, 2
+),
+tolled AS (
+    SELECT t.conv_id,
+           CAST(floor(epoch(t.ts) / {_LRB3_SW}) AS BIGINT) * {_LRB3_SW} AS w,
+           CASE WHEN s.seg_avg < 28.5 AND s.n_seg >= 21
+                THEN 2 * (s.n_seg - 20) * (s.n_seg - 20) ELSE 0 END AS toll
+    FROM transcripts t
+    JOIN seg s ON s.tool = t.tool
+              AND s.w = CAST(floor(epoch(t.ts) / {_LRB3_SW}) AS BIGINT) * {_LRB3_SW} - {_LRB3_SW}
+    WHERE t.tool <> ''
+),
+wm AS (SELECT max(epoch(ts)) AS mx FROM transcripts WHERE tool <> '')
+SELECT w AS window_start, conv_id, count(*) AS n_turns,
+       CAST(sum(toll) AS BIGINT) AS toll_total
+FROM tolled GROUP BY 1, 2
+HAVING w + {_LRB3_SW} <= (SELECT mx FROM wm)
+""")
+
+
+@register("lrb3_toll_streamed", _LRB3_STREAMED_ORACLE)
 def lrb3_toll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LRB3 toll assessment as a THREE-stateful-operator streaming DAG in
     one Structured Streaming plan: windowed segment-stats aggregation →
@@ -524,9 +606,10 @@ def lrb3_toll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     toll aggregation. This is Saber's deepest `connectTo` pipeline shape
     (Query.java:243-264) on the streaming path; Spark chains the three
     stateful operators under one watermark with SPARK-40925 propagation.
-    Exported builder + batch-parity pytest (not a registry entry — the
-    batch `lrb3_toll_assessment` carries the driver oracle; this builder
-    must equal it on every window the final watermark closed)."""
+    Registered in round 4 (registry rotation): the driver value-checks
+    the emitted set against the batch pipeline restricted to the windows
+    the final watermark closed — the same rule the batch-parity pytest
+    proves."""
     w = 21600  # _LRB3_W: 6h windows, matching the batch shape
     path = _stage_chunks(spark, sf_dir, "lrb3s")
 
@@ -579,3 +662,160 @@ def lrb3_toll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_complete(spark, out, "lrb3_toll_streamed_mem")
+
+
+# --------------------------------------------------------------------------
+# Late-data drop accounting (north_star: watermarks / out-of-order input).
+# The input is staged OUT OF ORDER on purpose: a deterministic "late" set
+# (portable md5 bucket % 20 == 0, restricted to the first half of the time
+# span) is withheld from the three chronological on-time chunks and
+# appended as the LAST file. By the time it arrives the watermark has
+# passed its windows by a wide margin (guarded below), so Structured
+# Streaming must drop every late row — and the per-operator
+# numRowsDroppedByWatermark metric must account for exactly that set.
+# The driver row value-checks BOTH: the kept windows (aggregates over
+# on-time rows only, ends closed by the final watermark) AND the audit
+# row carrying the engine-reported drop count, against one DuckDB oracle
+# that reproduces the late set and the watermark arithmetic.
+#
+# Metric semantics (measured, then modeled in the oracle): the drop
+# counter sits AT the stateful operator, downstream of the micro-batch's
+# partial aggregation — the late rows are map-side combined into one
+# partial row per distinct window before the watermark predicate sees
+# them, so the engine reports DISTINCT LATE WINDOWS, not raw late rows
+# (260 staged late rows → 244 dropped partials at sf0.01). The late
+# file is coalesced to one parquet file (single input partition), which
+# makes that collapse exact and deterministic.
+# --------------------------------------------------------------------------
+
+_LATE_DELAY_S = 1800
+_LATE_WIN_S = 600
+
+# first 8 md5 hex digits parsed positionally — the portable bucket
+# primitive (operators/textops.py md5_bucket; bias ~7e-8)
+_LATE_BUCKET_SQL = " + ".join(
+    f"(instr('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+    for i in range(1, 9)
+)
+
+_LATE_ORACLE = with_transcripts_oracle(f"""
+, mid AS (SELECT (min(epoch(ts)) + max(epoch(ts))) / 2.0 AS m FROM transcripts),
+marked AS (
+    SELECT conv_id, turn_idx, ts, length(text) AS tl,
+           (({_LATE_BUCKET_SQL}) % 20 = 0 AND epoch(ts) < (SELECT m FROM mid)) AS is_late
+    FROM (SELECT *, md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS h
+          FROM transcripts)
+),
+wm AS (SELECT max(epoch(ts)) - {_LATE_DELAY_S} AS w FROM marked WHERE NOT is_late),
+kept AS (
+    SELECT CAST(floor(epoch(ts) / {_LATE_WIN_S}) AS BIGINT) * {_LATE_WIN_S} AS window_start,
+           CAST(floor(epoch(ts) / {_LATE_WIN_S}) AS BIGINT) * {_LATE_WIN_S} + {_LATE_WIN_S} AS window_end,
+           count(*)                          AS n_turns,
+           CAST(sum(tl) AS BIGINT)           AS sum_len
+    FROM marked WHERE NOT is_late
+    GROUP BY 1, 2
+)
+SELECT 'window' AS part, window_start, window_end, n_turns, sum_len
+FROM kept WHERE window_end <= (SELECT w FROM wm)
+UNION ALL
+SELECT 'late_dropped', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       count(DISTINCT CAST(floor(epoch(ts) / {_LATE_WIN_S}) AS BIGINT)),
+       CAST(-1 AS BIGINT)
+FROM marked WHERE is_late
+""")
+
+
+def _stage_late_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """Three chronological on-time chunks + the late set as the LAST file
+    (file source processes in write order). Guarded: the late windows
+    must close at least one full micro-batch before the late file
+    arrives, so their state is emitted AND evicted by then — making the
+    drop set exact, not racing batch-boundary emission."""
+    from saber_spark.operators.textops import md5_bucket
+
+    fp = _source_fingerprint(sf_dir)
+    path = os.path.join(_TMP, "driver_stream", f"late_{fp[:12]}")
+    marker = os.path.join(path, "_STAGED")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    t = transcripts(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("long")
+    )
+    ep = F.col("ts").cast("timestamp").cast("double")
+    lo, hi = t.select(F.min(ep), F.max(ep)).collect()[0]
+    mid = (lo + hi) / 2.0
+    key = F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string"))
+    is_late = (md5_bucket(key, 20) == 0) & (ep < F.lit(mid))
+    two_thirds = lo + (hi - lo) * 2.0 / 3.0
+    if not (mid + _LATE_WIN_S < two_thirds - _LATE_DELAY_S):
+        raise ValueError(
+            "late_data_accounting needs a time span where the late set's "
+            "windows close a full batch before the late file arrives: "
+            f"span {hi - lo:.0f}s too small for delay {_LATE_DELAY_S}s"
+        )
+    ontime = t.where(~is_late)
+    bounds = [lo, lo + (hi - lo) / 3.0, two_thirds, hi + 1.0]
+    for k in range(3):
+        cond = (ep >= F.lit(bounds[k])) & (ep < F.lit(bounds[k + 1]))
+        ontime.where(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"chunk={k:03d}")
+        )
+    t.where(is_late).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "chunk=003")
+    )
+    with open(marker, "w") as fh:
+        fh.write(fp)
+    return path
+
+
+@register("late_data_accounting", _LATE_ORACLE)
+def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling agg over a deliberately out-of-order stream:
+    kept windows must aggregate the on-time rows only, and the engine's
+    numRowsDroppedByWatermark must equal the staged late set exactly —
+    both value-checked in one driver row ('window' rows + one
+    'late_dropped' audit row)."""
+    path = _stage_late_chunks(spark, sf_dir)
+    stream = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    )
+    agg = streaming_windowed_aggregate(
+        stream,
+        WindowDef(RANGE, _LATE_WIN_S),
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len")],
+        watermark=f"{_LATE_DELAY_S} seconds",
+    )
+    name = "late_accounting_mem"
+    ckpt = os.path.join(_TMP, "driver_stream", f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    )
+    q.stop()
+    kept = spark.sql(f"SELECT * FROM {name}").toPandas()
+    kept = spark.createDataFrame(kept, schema=spark.table(name).schema).select(
+        F.lit("window").alias("part"),
+        "window_start",
+        "window_end",
+        "n_turns",
+        "sum_len",
+    )
+    audit = spark.createDataFrame(
+        [("late_dropped", -1, -1, int(dropped), -1)],
+        "part string, window_start long, window_end long, n_turns long, sum_len long",
+    )
+    return kept.unionByName(audit)

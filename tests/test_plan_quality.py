@@ -70,7 +70,6 @@ def test_hot_queries_have_no_python_row_udfs(spark):
     for name in (
         "ysb_windowed_agg",
         "cm1_grouped_sliding_agg",
-        "cm1_pane_incremental",
         "theta_join_windowed",
         "dedup_minhash_lsh",
         "similarity_cosine_topk",
@@ -79,8 +78,9 @@ def test_hot_queries_have_no_python_row_udfs(spark):
     ):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
-    plan = _plan_of(_unregistered(spark, "cm1_pane_fanout"))
-    assert "BatchEvalPython" not in plan
+    for builder in ("cm1_pane_fanout", "cm1_pane_incremental"):
+        plan = _plan_of(_unregistered(spark, builder))
+        assert "BatchEvalPython" not in plan
 
 
 def test_ivf_assignment_partial_aggregates_without_window(spark):
@@ -108,7 +108,12 @@ def test_simhash_pairs_uses_hash_joins_not_nested_loop(spark):
     ["theta_join_windowed", "theta_join_hot_salted", "theta_join_row_window"],
 )
 def test_theta_join_is_equi_join_not_cartesian(spark, name):
-    plan = _plan(spark, name)
+    # hot_salted / row_window rotated out of the registry in r4 — assert
+    # on the exported builders either way
+    qs = entrymod.queries()
+    df = (qs[name](spark, SF_ORACLE) if name in qs
+          else _unregistered(spark, name))
+    plan = _plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
