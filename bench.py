@@ -76,7 +76,14 @@ def _headline_builders(qs: dict) -> dict:
     return out
 
 
-def run_bench(sf_dir: str, cpus: int) -> dict:
+def run_bench(sf_dir: str, cpus: int, rounds: int = 3) -> dict:
+    """Headline timings are INTERLEAVED BEST-OF-N: the full headline list
+    runs ``rounds`` times round-robin (so host noise hits every query
+    alike), per-query figure = minimum, and the max−min spread is
+    recorded alongside. Single-shot figures on this noisy-neighbour VM
+    swing 2-3× (BENCH/REGRESSED.md), which made round-over-round deltas
+    pure noise; the minimum estimator is stable because the noise is
+    strictly additive."""
     from saber_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -95,11 +102,13 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # warmup: JVM/codegen/Arrow paths
     materialize(qs[HEADLINE[0]](spark, sf_dir))
 
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        per_query[name] = round(materialize(qs[name](spark, sf_dir)), 3)
+    names = [n for n in HEADLINE if n in qs]
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(rounds):
+        for name in names:  # interleaved: one pass of every query per round
+            samples[name].append(materialize(qs[name](spark, sf_dir)))
+    per_query = {n: round(min(v), 3) for n, v in samples.items()}
+    spread = {n: round(max(v) - min(v), 3) for n, v in samples.items()}
 
     total = sum(per_query.values())
     streaming = _streaming_throughput(spark, sf_dir, n_turns)
@@ -111,6 +120,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "queries_spread": spread,
+        "bench_rounds": rounds,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # turns/sec over the metric workload only (each shape is one full
         # pass over the input); sustained streaming numbers live under
@@ -123,64 +134,70 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
 
 def _streaming_throughput(spark, sf_dir: str, n_turns: int) -> dict:
-    """Sustained streaming turns/sec: YSB windowed agg over chronological
-    micro-batches (file source, availableNow) — the BASELINE.json metric."""
+    """Sustained streaming turns/sec: YSB windowed agg and the CM1 pane
+    path over chronological micro-batches (file source, availableNow) —
+    the BASELINE.json metric. Each shape is reported at TWO trigger
+    settings (round-3 advice #7): maxFilesPerTrigger=1 (the per-file
+    WORST CASE — 8 micro-batches, each paying the fixed offset-commit/
+    state-snapshot cost) and the tuned trigger from BENCH/TRIGGERS.md
+    (largest trigger the latency budget allows; here all 8 staged files
+    in one batch — the sustained number a production deployment would
+    see)."""
     import shutil
     import pyspark.sql.functions as F
     from saber_spark.plans.streaming_queries import _stage_chunks, _stream_schema
     from saber_spark.streaming.jobs import read_transcript_stream, streaming_windowed_aggregate
     from saber_spark.operators.aggregation import AggSpec
     from saber_spark.operators.windows import RANGE, WindowDef
-
-    path = _stage_chunks(spark, sf_dir, "bench", n_files=8)
-    ckpt = os.path.join(REPO, ".tmp", "bench_stream_ckpt")
-    shutil.rmtree(ckpt, ignore_errors=True)
-    stream = read_transcript_stream(spark, f"{path}/chunk=*",
-                                    max_files_per_trigger=1, schema=_stream_schema())
-    agg = streaming_windowed_aggregate(
-        stream.where(F.col("role") == "assistant"),
-        WindowDef(RANGE, 600),
-        [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len"),
-         AggSpec("avg", "text_len", "avg_len")],
-        watermark="30 minutes",
-    )
-    t0 = time.perf_counter()
-    q = (agg.writeStream.outputMode("append").format("noop")
-         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
-    q.awaitTermination(600)
-    elapsed = time.perf_counter() - t0
-    progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
-    q.stop()
-    ysb = {
-        "sec": round(elapsed, 3),
-        "turns_per_sec": round(n_turns / elapsed, 1),
-        "n_micro_batches": len(progress),
-    }
-
-    # north-star metric: CM1 sliding-window throughput on the STREAMING
-    # pane path (applyInPandasWithState subtract-on-evict)
-    from saber_spark.operators.windows import WindowDef as _WD
     from saber_spark.streaming.panes import streaming_pane_sliding_aggregate
 
-    ckpt2 = os.path.join(REPO, ".tmp", "bench_stream_ckpt_cm1")
-    shutil.rmtree(ckpt2, ignore_errors=True)
-    stream2 = read_transcript_stream(spark, f"{path}/chunk=*",
-                                     max_files_per_trigger=1, schema=_stream_schema())
-    pane_agg = streaming_pane_sliding_aggregate(
-        stream2.where(F.col("tool") != ""), _WD(RANGE, 3600, 300),
-        value_col="text_len", keys=("tool",), watermark="0 seconds")
-    t0 = time.perf_counter()
-    q2 = (pane_agg.writeStream.outputMode("append").format("noop")
-          .option("checkpointLocation", ckpt2).trigger(availableNow=True).start())
-    q2.awaitTermination(600)
-    elapsed2 = time.perf_counter() - t0
-    q2.stop()
+    n_files = 8
+    path = _stage_chunks(spark, sf_dir, "bench", n_files=n_files)
+
+    def run(build, tag: str, max_files: int) -> dict:
+        ckpt = os.path.join(REPO, ".tmp", f"bench_stream_ckpt_{tag}_{max_files}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = read_transcript_stream(
+            spark, f"{path}/chunk=*", max_files_per_trigger=max_files,
+            schema=_stream_schema())
+        t0 = time.perf_counter()
+        q = (build(stream).writeStream.outputMode("append").format("noop")
+             .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        elapsed = time.perf_counter() - t0
+        progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+        q.stop()
+        return {
+            "sec": round(elapsed, 3),
+            "turns_per_sec": round(n_turns / elapsed, 1),
+            "n_micro_batches": len(progress),
+            "max_files_per_trigger": max_files,
+        }
+
+    def ysb(stream):
+        return streaming_windowed_aggregate(
+            stream.where(F.col("role") == "assistant"),
+            WindowDef(RANGE, 600),
+            [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len"),
+             AggSpec("avg", "text_len", "avg_len")],
+            watermark="30 minutes",
+        )
+
+    def cm1(stream):
+        # north-star metric: CM1 sliding-window throughput on the
+        # STREAMING pane path (applyInPandasWithState subtract-on-evict)
+        return streaming_pane_sliding_aggregate(
+            stream.where(F.col("tool") != ""), WindowDef(RANGE, 3600, 300),
+            value_col="text_len", keys=("tool",), watermark="0 seconds")
+
     return {
-        "ysb_tumbling": ysb,
-        "cm1_pane_sliding": {
-            "sec": round(elapsed2, 3),
-            "turns_per_sec": round(n_turns / elapsed2, 1),
-        },
+        "ysb_tumbling": run(ysb, "ysb", 1),
+        "ysb_tumbling_tuned": run(ysb, "ysb", n_files),
+        "cm1_pane_sliding": run(cm1, "cm1", 1),
+        "cm1_pane_sliding_tuned": run(cm1, "cm1", n_files),
+        "trigger_note": ("_tuned = all staged files in one trigger, the "
+                         "BENCH/TRIGGERS.md-justified default; the =1 rows "
+                         "are the per-file worst case"),
     }
 
 
@@ -1143,6 +1160,38 @@ def run_iceberg_bench(sf_dir: str, cpus: int = 32) -> None:
     comp_scan_sec = time.perf_counter() - t0
     assert comp_cnt == frag_cnt, "compaction changed row count"
 
+    # 6) row-level delete: copy-on-write vs merge-on-read. Same targeted
+    # predicate (one turn_idx — its bounds admit a match in EVERY file,
+    # the COW worst case / MoR best case) on two identical tables.
+    def fresh_table(name: str):
+        import shutil as _sh
+
+        loc = os.path.join(base, name)
+        _sh.rmtree(loc, ignore_errors=True)
+        t = IcebergTable.create(loc, turns)
+        t.append(turns.repartition(8))  # 8 data files like a real layout
+        return t
+
+    t_cow, t_mor = fresh_table("del_cow"), fresh_table("del_mor")
+    pred = [("turn_idx", "=", 3)]
+    t0 = time.perf_counter()
+    t_cow.delete_where(spark, pred, mode="copy-on-write")
+    cow_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    t_mor.delete_where(spark, pred, mode="merge-on-read")
+    mor_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cow_cnt = t_cow.scan(spark).count()
+    cow_scan_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mor_cnt = t_mor.scan(spark).count()
+    mor_scan_sec = time.perf_counter() - t0
+    assert cow_cnt == mor_cnt, "COW and MoR deletes must agree"
+    t0 = time.perf_counter()
+    t_mor.rewrite_data_files(spark)
+    fold_sec = time.perf_counter() - t0
+    assert not t_mor.delete_files(), "compaction must fold deletes"
+
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out = os.path.join(REPO, "BENCH", "ICEBERG.md")
     with open(out, "w") as fh:
@@ -1200,13 +1249,32 @@ def run_iceberg_bench(sf_dir: str, cpus: int = 32) -> None:
                 "rows/s** sustained through the streaming source.\n"
                 if big_sec
                 else ""
-            ))
+            )
+            + "\n## 6. Row-level delete: copy-on-write vs merge-on-read\n\n"
+            "Same targeted predicate (`turn_idx = 3` — its bounds admit a\n"
+            "match in EVERY file, the COW worst case) on two identical\n"
+            "8-file tables:\n\n"
+            "| mode | delete wall s | post-delete full-scan s |\n|---|---|---|\n"
+            f"| copy-on-write (rewrite all affected files) | {cow_sec:.2f} | {cow_scan_sec:.2f} |\n"
+            f"| merge-on-read (one position-delete file) | {mor_sec:.2f} | {mor_scan_sec:.2f} |\n\n"
+            f"Both scans return identical rows ({mor_cnt:,}). The trade, measured:\n"
+            f"MoR writes ×{cow_sec / max(mor_sec, 1e-9):.1f} less on the delete "
+            "(it writes positions, not data —\nthe gap grows linearly with "
+            "file size, so at 100-TB files it is the\ndifference between "
+            "seconds and hours), and pays a per-scan anti-join\nwhile deletes "
+            f"are live; `rewrite_data_files` folded the deletes back\ninto "
+            f"plain data files in {fold_sec:.2f} s, restoring rewrite-free "
+            "reads.\nPolicy: MoR for frequent targeted deletes (GDPR erasure, "
+            "dedup\nretractions), COW for broad one-off deletes; compact on "
+            "a schedule.\n")
     print(json.dumps({
         "noop_sec": round(noop_sec, 2), "ice_sec": round(ice_sec, 2),
         "ingest_rows_per_sec": round(n_turns / ingest_sec),
         "tail_rows_per_sec": round(n_turns / tail_sec),
         "big_tail_rows_per_sec": round(big_rows / big_sec) if big_sec else None,
         "frag_files": frag_files, "comp_files": comp_files,
+        "cow_delete_sec": round(cow_sec, 2), "mor_delete_sec": round(mor_sec, 2),
+        "mor_fold_sec": round(fold_sec, 2),
         "written": out,
     }))
 

@@ -68,9 +68,14 @@ if TYPE_CHECKING:  # pragma: no cover
 
 @dataclass
 class FilePartition(InputPartition):
-    """One Iceberg data file == one Spark input partition."""
+    """One Iceberg data file == one Spark input partition.
+
+    ``delete_paths``: position-delete parquet files (spec v2 content=1)
+    that reference this data file — the executor folds them in
+    (merge-on-read) while reading. Empty tuple on delete-free tables."""
 
     file_path: str
+    delete_paths: tuple = ()
 
 
 _OPS = {
@@ -91,18 +96,33 @@ def _arrow_schema(schema: "StructType"):
     )
 
 
-def _read_file_batches(path: str, arrow_schema) -> Iterator:
+def _read_file_batches(path: str, arrow_schema, delete_paths=()) -> Iterator:
     """Executor-side: stream one data file as Arrow batches cast to the
     table schema (column order + TIMESTAMP_NTZ -> session-UTC). Columns
     the file predates (schema evolution: add_column after this file was
-    written) are filled with nulls, matching IcebergTable.scan()."""
+    written) are filled with nulls, matching IcebergTable.scan().
+    ``delete_paths``: merge-on-read — positions named for THIS file in
+    those position-delete files are dropped before the rows leave the
+    reader (an Arrow take on the kept indices; deletes for other files
+    are filtered out by path)."""
+    import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     present = set(pq.read_schema(path).names)
     table = pq.read_table(
         path, columns=[n for n in arrow_schema.names if n in present]
     )
+    if delete_paths:
+        dels = pa.concat_tables(
+            [pq.read_table(p, columns=["file_path", "pos"]) for p in delete_paths]
+        )
+        mine = dels.filter(pc.equal(dels.column("file_path"), path))
+        if mine.num_rows:
+            drop = mine.column("pos").to_numpy(zero_copy_only=False)
+            keep = np.setdiff1d(np.arange(len(table), dtype="int64"), drop)
+            table = table.take(keep)
     for field in arrow_schema:
         if field.name not in present:
             table = table.append_column(
@@ -135,12 +155,33 @@ class IcebergBatchReader(DataSourceReader):
         return filters
 
     def partitions(self) -> Sequence[InputPartition]:
-        files = IcebergTable(self.location).files(
+        table = IcebergTable(self.location)
+        if self.snapshot_id is None and self.as_of_ms is None:
+            # pin one snapshot for BOTH the data and delete listings so a
+            # concurrent commit between them cannot mix file sets
+            cur = table.current_snapshot_id()
+            self.snapshot_id = cur if cur != -1 else None
+        files = table.files(
             snapshot_id=self.snapshot_id,
             as_of_ms=self.as_of_ms,
             filters=self.pruning_filters or None,
         )
-        return [FilePartition(d["file_path"]) for d in files]
+        # merge-on-read: hand each partition exactly the delete files
+        # that reference it (referenced_data_files from the manifest), so
+        # executors never open unrelated delete files
+        dels = table.delete_files(
+            snapshot_id=self.snapshot_id, as_of_ms=self.as_of_ms
+        )
+        by_target: dict[str, list[str]] = {}
+        for d in dels:
+            for ref in d.get("referenced_data_files", []):
+                by_target.setdefault(ref, []).append(d["file_path"])
+        return [
+            FilePartition(
+                d["file_path"], tuple(sorted(by_target.get(d["file_path"], ())))
+            )
+            for d in files
+        ]
 
     def read(self, partition: FilePartition) -> Iterator:
         # pyspark substitutes [None] for an empty partition list — an
@@ -148,7 +189,11 @@ class IcebergBatchReader(DataSourceReader):
         # zero rows, not crash on partition.file_path
         if partition is None:
             return
-        yield from _read_file_batches(partition.file_path, self.arrow_schema)
+        yield from _read_file_batches(
+            partition.file_path,
+            self.arrow_schema,
+            getattr(partition, "delete_paths", ()),
+        )
 
 
 class IcebergStreamReader(DataSourceStreamReader):

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -572,9 +573,20 @@ class IcebergTable:
                 raise ValidationFailed(
                     f"input files rewritten/removed concurrently: {sorted(missing)[:3]}"
                 )
-            carried = [
-                d for p, d in live.items() if p not in removed_paths
-            ]
+            carried = []
+            for p, d in live.items():
+                if p in removed_paths:
+                    continue
+                if d.get("content", 0) == 1:
+                    # position deletes name (file, pos) pairs in IMMUTABLE
+                    # files — once a referenced data file is rewritten
+                    # (deletes applied by the delete-aware read), its
+                    # delete rows are obsolete: drop the delete file when
+                    # every target was rewritten, trim it when only some
+                    d = self._trim_delete_entry(d, removed_paths)
+                    if d is None:
+                        continue
+                carried.append(d)
             manifest_path = os.path.join(
                 self.meta_dir, f"{uuid.uuid4().hex}-m0.manifest.json"
             )
@@ -650,7 +662,74 @@ class IcebergTable:
 
         return self._commit(build)
 
-    def _read_paths(self, spark: SparkSession, meta: dict, paths: list[str]) -> DataFrame:
+    @staticmethod
+    def _apply_position_deletes(
+        spark: SparkSession, df: DataFrame, delete_paths: list[str]
+    ) -> DataFrame:
+        """Merge-on-read: drop rows named by position-delete files. The
+        scan exposes (_metadata.file_path, _metadata.row_index) and
+        left-anti-joins the (file_path, pos) delete set — positions are
+        row indices in the ORIGINAL immutable file, so the join is exact
+        at any parallelism. AQE broadcasts the (typically tiny) delete
+        side; zero overhead when no delete files exist (caller skips)."""
+        dels = spark.read.parquet(*delete_paths).select(
+            F.col("file_path").alias("_del_fp"), F.col("pos").alias("_del_pos")
+        )
+        fp = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        cols = df.columns
+        return (
+            df.withColumn("_fp", fp)
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(
+                dels,
+                (F.col("_fp") == F.col("_del_fp"))
+                & (F.col("_pos") == F.col("_del_pos")),
+                "left_anti",
+            )
+            .select(*cols)
+        )
+
+    def _trim_delete_entry(self, d: dict, removed_paths: set) -> dict | None:
+        """Carry logic for a position-delete entry when ``removed_paths``
+        data files leave the table: None if every referenced target was
+        removed (the whole delete file is obsolete); a NEW trimmed delete
+        file/entry if only some were; ``d`` unchanged if none were.
+        Delete files are small (they carry positions, not rows), so the
+        trim is a driver-side pyarrow filter."""
+        refs = set(d.get("referenced_data_files", []))
+        if not refs & removed_paths:
+            return d
+        if refs <= removed_paths:
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(d["file_path"])
+        keep = pc.invert(
+            pc.is_in(t.column("file_path"), value_set=pa.array(sorted(removed_paths)))
+        )
+        trimmed = t.filter(keep)
+        dst = os.path.join(self.data_dir, f"delete-{uuid.uuid4().hex}.parquet")
+        pq.write_table(trimmed, dst)
+        return {
+            **d,
+            "file_path": dst,
+            "referenced_data_files": sorted(refs - removed_paths),
+            **_file_stats(dst),
+        }
+
+    def _read_paths(
+        self,
+        spark: SparkSession,
+        meta: dict,
+        paths: list[str],
+        apply_deletes: bool = True,
+    ) -> DataFrame:
+        """Read data files at ``paths`` under the current schema, with
+        live position deletes applied by default — every row-level
+        operation that rewrites files MUST see the merge-on-read view,
+        or a copy-on-write rewrite would resurrect MoR-deleted rows."""
         ddl = _spark_ddl(
             next(
                 s
@@ -660,15 +739,43 @@ class IcebergTable:
         )
         if not paths:
             return spark.createDataFrame([], ddl)
-        return spark.read.schema(ddl).parquet(*paths)
+        df = spark.read.schema(ddl).parquet(*paths)
+        if apply_deletes:
+            del_paths = [
+                d["file_path"]
+                for p, d in self._live_files(meta).items()
+                if d.get("content", 0) == 1
+            ]
+            if del_paths:
+                df = self._apply_position_deletes(spark, df, del_paths)
+        return df
 
-    def delete_where(self, spark: SparkSession, filters: list[tuple]) -> dict:
-        """``DELETE FROM t WHERE <conj>`` by copy-on-write: only files
-        whose partition values / column bounds ADMIT a match are
-        rewritten (same pruning as ``scan``); every other file is carried
-        untouched — at 100 TB a targeted delete touches a handful of
+    def delete_where(
+        self,
+        spark: SparkSession,
+        filters: list[tuple],
+        mode: str = "copy-on-write",
+    ) -> dict:
+        """``DELETE FROM t WHERE <conj>``. Only files whose partition
+        values / column bounds ADMIT a match participate (same pruning
+        as ``scan``) — at 100 TB a targeted delete touches a handful of
         files, not the table. Rows where the predicate is NULL are kept
-        (SQL DELETE semantics)."""
+        (SQL DELETE semantics).
+
+        ``mode='copy-on-write'`` (spec v1 engines): affected files are
+        rewritten without the target rows and swapped atomically —
+        write-heavy, read-free. ``mode='merge-on-read'`` (spec v2
+        position deletes): the matching (file_path, pos) pairs are
+        written as a position-delete file and committed WITHOUT touching
+        any data file — a delete costs one small write no matter how big
+        the affected files are; readers fold the deletes in (``scan``/
+        the DataSource), and ``rewrite_data_files`` compacts them away.
+        The right default is COW for broad deletes (read amplification
+        ∝ accumulated deletes) and MoR for frequent targeted deletes
+        (write amplification ∝ file size); BENCH/ICEBERG.md measures
+        both sides of that trade."""
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         meta = self._read_metadata()
         affected = self.files(filters=filters)
         if not affected:
@@ -680,11 +787,89 @@ class IcebergTable:
             lit = json.dumps(val) if isinstance(val, str) else val
             c = F.expr(f"`{col}` {ops[op]} {lit}")
             pred = c if pred is None else (pred & c)
+        if mode == "merge-on-read":
+            entries = self._write_position_deletes(spark, meta, sorted(paths), pred)
+            if not entries:
+                return meta  # bounds admitted a match but no row matched
+            return self._snapshot_commit(
+                entries,
+                "delete",
+                {"saber.delete-mode": "merge-on-read"},
+            )
         keep = self._read_paths(spark, meta, sorted(paths)).where(
             ~F.coalesce(pred, F.lit(False))
         )
         new_files = self._write_data_files(keep, meta)
         return self._rewrite_commit(new_files, paths, "delete")
+
+    def _write_position_deletes(
+        self, spark: SparkSession, meta: dict, paths: list[str], pred
+    ) -> list[dict]:
+        """Write (file_path, pos) position-delete parquet for every row in
+        ``paths`` matching ``pred`` (spec v2 §Position Delete Files: rows
+        sorted by file_path then pos). Positions already deleted by LIVE
+        delete files are excluded so repeated MoR deletes stay disjoint
+        and the summary counts stay truthful. Each manifest entry records
+        ``referenced_data_files`` so rewrites can drop or trim delete
+        files whose targets were rewritten."""
+        import pyarrow.parquet as pq
+
+        ddl = _spark_ddl(
+            next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"] == meta["current-schema-id"]
+            )["fields"]
+        )
+        fp = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        hits = (
+            spark.read.schema(ddl)
+            .parquet(*paths)
+            .withColumn("file_path", fp)
+            .withColumn("pos", F.col("_metadata.row_index"))
+            .where(F.coalesce(pred, F.lit(False)))
+            .select("file_path", "pos")
+        )
+        live_dels = [
+            d["file_path"]
+            for d in self._live_files(meta).values()
+            if d.get("content", 0) == 1
+        ]
+        if live_dels:
+            prior = spark.read.parquet(*live_dels).select("file_path", "pos")
+            hits = hits.join(prior, ["file_path", "pos"], "left_anti")
+        stage = os.path.join(self.data_dir, f".stage-del-{uuid.uuid4().hex}")
+        hits.coalesce(1).sortWithinPartitions("file_path", "pos").write.parquet(stage)
+        entries = []
+        for root, _dirs, files in os.walk(stage):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fn)
+                if pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue
+                dst = os.path.join(
+                    self.data_dir, f"delete-{uuid.uuid4().hex}.parquet"
+                )
+                os.rename(src, dst)
+                refs = sorted(
+                    pq.read_table(dst, columns=["file_path"])
+                    .column("file_path")
+                    .unique()
+                    .to_pylist()
+                )
+                entries.append(
+                    {
+                        "content": 1,  # spec v2: position deletes
+                        "file_path": dst,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "referenced_data_files": refs,
+                        **_file_stats(dst),
+                    }
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
 
     def merge_into(
         self,
@@ -716,7 +901,11 @@ class IcebergTable:
             # empty source: MERGE is the identity — bail out before the
             # no-bounds path below rewrites every live file for nothing
             return self._snapshot(meta) or {}
-        live = list(self._live_files(meta).values())
+        live = [
+            d
+            for d in self._live_files(meta).values()
+            if d.get("content", 0) == 0
+        ]
         affected, carried_n = [], 0
         for d in live:
             lo, hi = d["lower_bounds"].get(k0), d["upper_bounds"].get(k0)
@@ -749,14 +938,29 @@ class IcebergTable:
         snapshot — row content is untouched (incremental consumers skip
         non-append snapshots, so compaction never re-emits rows). This is
         the antidote to streaming sinks accreting one small file per
-        micro-batch. Returns None if there is nothing worth compacting."""
+        micro-batch. ALSO FOLDS POSITION DELETES: any data file a live
+        merge-on-read delete references joins the rewrite input, the
+        delete-aware read applies the deletes, and the obsolete delete
+        entries drop out in the commit — bounding MoR read amplification
+        the way Iceberg's RewriteDataFiles+RewritePositionDeleteFiles
+        maintenance pair does. Returns None if there is nothing worth
+        compacting."""
         meta = self._read_metadata()
+        live = self._live_files(meta)
+        deletes = [d for d in live.values() if d.get("content", 0) == 1]
+        del_targets = {
+            p for d in deletes for p in d.get("referenced_data_files", [])
+        }
         small = [
             d
-            for d in self._live_files(meta).values()
-            if d["file_size_in_bytes"] < target_file_size_bytes // 2
+            for d in live.values()
+            if d.get("content", 0) == 0
+            and (
+                d["file_size_in_bytes"] < target_file_size_bytes // 2
+                or d["file_path"] in del_targets
+            )
         ]
-        if len(small) < min_input_files:
+        if len(small) < min_input_files and not (small and del_targets):
             return None
         total = sum(d["file_size_in_bytes"] for d in small)
         n_out = max(1, -(-total // target_file_size_bytes))
@@ -833,27 +1037,45 @@ class IcebergTable:
         with open(snap["manifest-list"]) as f:
             return json.load(f)
 
-    def files(self, snapshot_id=None, as_of_ms=None, filters=None) -> list[dict]:
-        """Live data files of one snapshot, after partition- and
-        column-bound pruning. ``filters``: [(col, op, value)] with op in
-        = < <= > >= — conservative (a file is kept unless its bounds
-        PROVE no row matches), exactly manifest-level pruning."""
+    def _live_entries(self, snapshot_id=None, as_of_ms=None) -> list[dict]:
+        """Every live manifest entry (data AND delete files) of one
+        snapshot."""
         meta = self._read_metadata()
         snap = self._snapshot(meta, snapshot_id, as_of_ms)
         if snap is None:
             return []
-        spec = {f["source-name"]: f for f in self._partition_fields(meta)}
         out = []
         for m in self._manifest_list(meta, snap):
             with open(m["manifest_path"]) as f:
-                for entry in json.load(f):
-                    if entry["status"] == 2:  # deleted
-                        continue
-                    d = entry["data_file"]
-                    if filters and _pruned(d, filters, spec):
-                        continue
-                    out.append(d)
+                out += [e["data_file"] for e in json.load(f) if e["status"] != 2]
         return out
+
+    def files(self, snapshot_id=None, as_of_ms=None, filters=None) -> list[dict]:
+        """Live DATA files of one snapshot, after partition- and
+        column-bound pruning. ``filters``: [(col, op, value)] with op in
+        = < <= > >= — conservative (a file is kept unless its bounds
+        PROVE no row matches), exactly manifest-level pruning. Position-
+        delete files (content=1) are excluded — use ``delete_files``."""
+        meta = self._read_metadata()
+        spec = {f["source-name"]: f for f in self._partition_fields(meta)}
+        out = []
+        for d in self._live_entries(snapshot_id, as_of_ms):
+            if d.get("content", 0) != 0:
+                continue
+            if filters and _pruned(d, filters, spec):
+                continue
+            out.append(d)
+        return out
+
+    def delete_files(self, snapshot_id=None, as_of_ms=None) -> list[dict]:
+        """Live POSITION-DELETE files (spec v2 content=1) of one snapshot:
+        parquet files of (file_path, pos) rows naming deleted positions
+        in data files. Merge-on-read counterpart to ``files``."""
+        return [
+            d
+            for d in self._live_entries(snapshot_id, as_of_ms)
+            if d.get("content", 0) == 1
+        ]
 
     def scan(
         self,
@@ -865,6 +1087,12 @@ class IcebergTable:
         """Snapshot-isolated scan: the file list is pinned from one
         snapshot, so concurrent commits never tear the read."""
         meta = self._read_metadata()
+        snap = self._snapshot(meta, snapshot_id, as_of_ms)
+        if snap is not None:
+            # pin ONE snapshot id for both the data and the delete file
+            # lists — a concurrent commit between the two listings must
+            # not mix file sets from different snapshots
+            snapshot_id, as_of_ms = snap["snapshot-id"], None
         files = self.files(snapshot_id, as_of_ms, filters)
         ddl = _spark_ddl(
             next(
@@ -876,6 +1104,11 @@ class IcebergTable:
         if not files:
             return spark.createDataFrame([], ddl)
         df = spark.read.schema(ddl).parquet(*[d["file_path"] for d in files])
+        del_paths = [
+            d["file_path"] for d in self.delete_files(snapshot_id, as_of_ms)
+        ]
+        if del_paths:  # merge-on-read: fold position deletes into the scan
+            df = self._apply_position_deletes(spark, df, del_paths)
         if filters:
             for col, op, val in filters:  # residual row-level filter
                 ops = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
@@ -1019,6 +1252,21 @@ class IcebergTable:
         return self._commit(build)
 
 
+_TS_BOUND_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
+
+
+def _norm_ts_bound(x):
+    """Timestamp bounds serialize with a space separator since r3, but
+    manifests written before that carry ISO 'T'-separated strings — a
+    lexicographic compare across the two formats can wrongly prune a
+    file whose bound shares the date with the literal (' ' < 'T').
+    Normalize ONLY values that look like timestamps; arbitrary text
+    columns containing 'T' must not be rewritten."""
+    if isinstance(x, str) and _TS_BOUND_RE.match(x):
+        return x.replace("T", " ")
+    return x
+
+
 def _pruned(data_file: dict, filters, spec: dict) -> bool:
     """True iff the file PROVABLY contains no matching row (bounds or
     identity-partition value contradict a conjunct)."""
@@ -1028,8 +1276,9 @@ def _pruned(data_file: dict, filters, spec: dict) -> bool:
             pv = data_file["partition"].get(pf_["name"])
             if pv is not None and op == "=" and pv != str(val):
                 return True
-        lo = data_file["lower_bounds"].get(col)
-        hi = data_file["upper_bounds"].get(col)
+        lo = _norm_ts_bound(data_file["lower_bounds"].get(col))
+        hi = _norm_ts_bound(data_file["upper_bounds"].get(col))
+        val = _norm_ts_bound(val)
         if lo is None or hi is None:
             continue
         if isinstance(val, (int, float)) and isinstance(lo, str):

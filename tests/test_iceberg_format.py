@@ -547,3 +547,133 @@ def test_merge_into_empty_source_is_identity(spark):
     t.merge_into(spark, src.where(F.lit(False)), ["conv_id", "turn_idx"])
     assert len(t.snapshots()) == snaps_before  # no new snapshot
     assert sorted(d["file_path"] for d in t.files()) == files_before
+
+
+# -- merge-on-read (spec v2 position deletes) ---------------------------------
+
+
+def test_delete_where_merge_on_read(spark):
+    """MoR delete: no data file is touched — a position-delete file is
+    committed instead, the scan folds it in, and time travel still reads
+    the pre-delete rows."""
+    loc = _fresh("mor_delete")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    n_user = src.where(F.col("role") == "user").count()
+    files_before = {d["file_path"] for d in t.files()}
+    pre_snap = t.current_snapshot_id()
+    t.delete_where(spark, [("role", "=", "user")], mode="merge-on-read")
+    # every data file carried byte-identical; one content=1 entry added
+    assert {d["file_path"] for d in t.files()} == files_before
+    dels = t.delete_files()
+    assert len(dels) == 1 and dels[0]["content"] == 1
+    assert dels[0]["referenced_data_files"], "delete entry must name targets"
+    back = t.scan(spark)
+    assert back.where(F.col("role") == "user").count() == 0
+    assert back.count() == src.count() - n_user
+    s = t.snapshots()[-1]["summary"]
+    assert s["operation"] == "delete"
+    assert s["saber.delete-mode"] == "merge-on-read"
+    pre = t.scan(spark, snapshot_id=pre_snap)
+    assert pre.where(F.col("role") == "user").count() == n_user
+
+
+def test_mor_delete_then_datasource_read(spark):
+    """The planner-integrated Python DataSource must fold position
+    deletes executor-side (per-partition referenced delete files)."""
+    from saber_spark.sources.iceberg_datasource import register_iceberg_source
+
+    register_iceberg_source(spark)
+    loc = _fresh("mor_dsv2")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    t.delete_where(spark, [("role", "=", "tool")], mode="merge-on-read")
+    back = spark.read.format("saber_iceberg").option("location", loc).load()
+    assert back.where(F.col("role") == "tool").count() == 0
+    assert _key_set(back) == _key_set(src.where(F.col("role") != "tool"))
+
+
+def test_mor_repeated_deletes_and_cow_no_resurrection(spark):
+    """Two MoR deletes stack disjointly; a copy-on-write operation on a
+    table with live position deletes must apply them while rewriting
+    (no resurrected rows) and drop/trim the obsolete delete entries."""
+    loc = _fresh("mor_stack")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    t.delete_where(spark, [("role", "=", "user")], mode="merge-on-read")
+    t.delete_where(spark, [("role", "=", "tool")], mode="merge-on-read")
+    want = _key_set(src.where(F.col("role") == "assistant"))
+    assert _key_set(t.scan(spark)) == want
+    # a COW delete now rewrites every remaining file (predicate matches
+    # all assistants of turn 0): deleted rows must NOT come back
+    t.delete_where(spark, [("turn_idx", "=", 0)], mode="copy-on-write")
+    back = t.scan(spark)
+    assert back.where(F.col("role") != "assistant").count() == 0
+    assert _key_set(back) == {k for k in want if k[1] != 0}
+    # all delete entries referencing rewritten files were dropped/trimmed:
+    # the remaining delete files may only reference live data files
+    live = {d["file_path"] for d in t.files()}
+    for d in t.delete_files():
+        assert set(d["referenced_data_files"]) <= live
+
+
+def test_compaction_folds_position_deletes(spark):
+    """rewrite_data_files must fold MoR deletes: referenced data files
+    are rewritten with deletes applied, the delete entries disappear,
+    and the scan is unchanged."""
+    loc = _fresh("mor_fold")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    t.delete_where(spark, [("role", "=", "user")], mode="merge-on-read")
+    want = _key_set(t.scan(spark))
+    assert t.delete_files(), "precondition: a live delete file exists"
+    res = t.rewrite_data_files(spark)
+    assert res is not None
+    assert t.delete_files() == [], "compaction must fold deletes away"
+    assert _key_set(t.scan(spark)) == want
+    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+
+
+def test_mor_delete_blocks_incremental_tailing(spark):
+    """A 'delete' snapshot in an incremental range must raise (append-only
+    stream-source contract) — MoR commits are 'delete' operations."""
+    loc = _fresh("mor_incr")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    snap1 = t.current_snapshot_id()
+    t.delete_where(spark, [("role", "=", "user")], mode="merge-on-read")
+    with pytest.raises(ValueError, match="append"):
+        t.incremental(spark, snap1)
+
+
+def test_pruning_normalizes_timestamp_separator():
+    """Round-3 advice: manifests written before the space-separator change
+    carry 'T'-separated bounds; mixed-format lexicographic compares must
+    not wrongly prune (' ' < 'T' made same-date files look disjoint)."""
+    from saber_spark.sources.iceberg_format import _pruned
+
+    legacy = {
+        "partition": {},
+        "lower_bounds": {"ts": "2024-01-01T06:00:00"},
+        "upper_bounds": {"ts": "2024-01-01T18:00:00"},
+    }
+    # literal in space form INSIDE the file's range: must NOT prune even
+    # though "2024-01-01 12:00:00" < "2024-01-01T06:00:00" lexicographically
+    assert not _pruned(legacy, [("ts", "=", "2024-01-01 12:00:00")], {})
+    assert not _pruned(legacy, [("ts", ">", "2024-01-01 10:00:00")], {})
+    # genuinely out of range still prunes, in either format
+    assert _pruned(legacy, [("ts", "=", "2024-01-02 00:00:00")], {})
+    assert _pruned(legacy, [("ts", "<", "2024-01-01T05:00:00")], {})
+    # non-timestamp strings are untouched (a text column containing 'T')
+    txt = {
+        "partition": {},
+        "lower_bounds": {"s": "Tan"},
+        "upper_bounds": {"s": "Tz"},
+    }
+    assert _pruned(txt, [("s", "=", "Aardvark")], {})
+    assert not _pruned(txt, [("s", "=", "Toast")], {})
