@@ -111,8 +111,23 @@ def curate_corpus(
 
     # 5) deterministic stratified sample on the cleaned population.
     if rate_for_stratum is None:
-        src_num = F.regexp_extract("stratum", r"(\d+)", 1).cast("int")
-        rate_for_stratum = F.when(src_num % 2 == 0, F.lit(800)).otherwise(F.lit(400))
+        # Default rates are FRACTIONS of n_buckets (80% / 40%), not
+        # absolute bucket counts — a caller changing n_buckets keeps the
+        # same effective keep-rates (round-3 advice: 800/400 hardcoded
+        # against n_buckets=1000 silently rescaled with the knob).
+        # Stratum contract: strata are 'srcN'-style; a stratum with no
+        # digits has NULL src_num and deliberately takes the odd (lower)
+        # rate via the otherwise() branch — made explicit here so the
+        # DuckDB twin (which would error casting '') documents the same
+        # choice rather than diverging silently.
+        src_num = F.nullif(F.regexp_extract("stratum", r"(\d+)", 1), F.lit("")).cast(
+            "int"
+        )
+        even, odd = int(0.8 * n_buckets), int(0.4 * n_buckets)
+        rate_for_stratum = (
+            F.when(F.coalesce(src_num % 2, F.lit(1)) == 0, F.lit(even))
+            .otherwise(F.lit(odd))
+        )
     bucket = tx.md5_bucket(did.cast("string"), n_buckets)
     return (
         canon.withColumn("bucket", bucket)
