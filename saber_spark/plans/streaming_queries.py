@@ -132,15 +132,20 @@ def ysb_windowed_agg_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete(spark, agg, "ysb_streamed_complete")
 
 
-_COUNTWIN_STREAM_ORACLE = with_transcripts_oracle("""
+#: shared ROW-window SELECT bodies — standalone (rotated-out) oracles and
+#: the mode-tagged union oracle compose from these single copies.
+_ROWWIN_TUM_BODY = """
 SELECT conv_id,
-       CAST(floor(turn_idx / 16) AS BIGINT) AS window_id,
-       count(*)                             AS n_turns,
-       CAST(sum(length(text)) AS BIGINT)    AS sum_val
+       CAST(floor(turn_idx / 16) AS BIGINT)  AS window_id,
+       count(*)                              AS n_turns,
+       CAST(sum(length(text)) AS BIGINT)     AS sum_val,
+       CAST(max(length(text)) AS BIGINT)     AS max_val
 FROM transcripts
 GROUP BY 1, 2
 HAVING count(*) >= 16
-""")
+"""
+
+_COUNTWIN_STREAM_ORACLE = with_transcripts_oracle(_ROWWIN_TUM_BODY)
 
 
 def row_window_streamed_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,7 +168,7 @@ def row_window_streamed_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sliding ROW windows on the stream (reference WindowDefinition.java:5-18;
 # figure-11b sweeps row-window slides): window = 16 turns, slide = 4 —
 # completed windows only, so the oracle keeps the full-count windows.
-_COUNTWIN_SLIDE_STREAM_ORACLE = with_transcripts_oracle("""
+_ROWWIN_SLIDE_BODY = """
 SELECT conv_id,
        CAST(floor(turn_idx / 4) AS BIGINT) - r.k AS window_id,
        count(*)                                   AS n_turns,
@@ -174,7 +179,9 @@ WHERE CAST(floor(turn_idx / 4) AS BIGINT) - r.k >= 0
   AND turn_idx < (CAST(floor(turn_idx / 4) AS BIGINT) - r.k) * 4 + 16
 GROUP BY 1, 2
 HAVING count(*) = 16
-""")
+"""
+
+_COUNTWIN_SLIDE_STREAM_ORACLE = with_transcripts_oracle(_ROWWIN_SLIDE_BODY)
 
 
 def row_window_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,29 +203,9 @@ def row_window_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotation: the tumbling streamed path previously had no CORRECTNESS row) —
 # each mode runs its own real stream through the applyInPandasWithState
 # operator; results are mode-tagged and unioned against one oracle.
-_ROWWIN_STREAMED_ORACLE = with_transcripts_oracle("""
-, tum AS (
-    SELECT conv_id,
-           CAST(floor(turn_idx / 16) AS BIGINT)  AS window_id,
-           count(*)                              AS n_turns,
-           CAST(sum(length(text)) AS BIGINT)     AS sum_val,
-           CAST(max(length(text)) AS BIGINT)     AS max_val
-    FROM transcripts
-    GROUP BY 1, 2
-    HAVING count(*) >= 16
-),
-sli AS (
-    SELECT conv_id,
-           CAST(floor(turn_idx / 4) AS BIGINT) - r.k AS window_id,
-           count(*)                                   AS n_turns,
-           CAST(sum(length(text)) AS BIGINT)          AS sum_val,
-           CAST(max(length(text)) AS BIGINT)          AS max_val
-    FROM transcripts, range(0, 4) AS r(k)
-    WHERE CAST(floor(turn_idx / 4) AS BIGINT) - r.k >= 0
-      AND turn_idx < (CAST(floor(turn_idx / 4) AS BIGINT) - r.k) * 4 + 16
-    GROUP BY 1, 2
-    HAVING count(*) = 16
-)
+_ROWWIN_STREAMED_ORACLE = with_transcripts_oracle(f"""
+, tum AS ({_ROWWIN_TUM_BODY}),
+sli AS ({_ROWWIN_SLIDE_BODY})
 SELECT 'tumbling' AS mode, * FROM tum
 UNION ALL
 SELECT 'sliding' AS mode, * FROM sli
@@ -570,31 +557,16 @@ def lrb4_notify_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LRB3 streamed: the three-stateful-op chain emits exactly the turn
 # windows the final watermark closed — window_start + W <= max tool-turn
 # ts (0 s delay), the same rule the batch-parity pytest proves. The
-# oracle is the batch LRB3 pipeline restricted to that window set.
-_LRB3_SW = 21600
+# oracle IS the batch LRB3 oracle body (imported — one copy of the toll
+# formula) restricted to that window set.
+from saber_spark.plans.saber_queries import _LRB3_CTES, _LRB3_SELECT, _LRB3_W
 
-_LRB3_STREAMED_ORACLE = with_transcripts_oracle(f"""
-, seg AS (
-    SELECT tool, CAST(floor(epoch(ts) / {_LRB3_SW}) AS BIGINT) * {_LRB3_SW} AS w,
-           count(*) AS n_seg, avg(length(text)) AS seg_avg
-    FROM transcripts WHERE tool <> '' GROUP BY 1, 2
-),
-tolled AS (
-    SELECT t.conv_id,
-           CAST(floor(epoch(t.ts) / {_LRB3_SW}) AS BIGINT) * {_LRB3_SW} AS w,
-           CASE WHEN s.seg_avg < 28.5 AND s.n_seg >= 21
-                THEN 2 * (s.n_seg - 20) * (s.n_seg - 20) ELSE 0 END AS toll
-    FROM transcripts t
-    JOIN seg s ON s.tool = t.tool
-              AND s.w = CAST(floor(epoch(t.ts) / {_LRB3_SW}) AS BIGINT) * {_LRB3_SW} - {_LRB3_SW}
-    WHERE t.tool <> ''
-),
-wm AS (SELECT max(epoch(ts)) AS mx FROM transcripts WHERE tool <> '')
-SELECT w AS window_start, conv_id, count(*) AS n_turns,
-       CAST(sum(toll) AS BIGINT) AS toll_total
-FROM tolled GROUP BY 1, 2
-HAVING w + {_LRB3_SW} <= (SELECT mx FROM wm)
-""")
+_LRB3_STREAMED_ORACLE = with_transcripts_oracle(
+    _LRB3_CTES
+    + ",\nwm AS (SELECT max(epoch(ts)) AS mx FROM transcripts WHERE tool <> '')"
+    + _LRB3_SELECT
+    + f"HAVING w + {_LRB3_W} <= (SELECT mx FROM wm)\n"
+)
 
 
 @register("lrb3_toll_streamed", _LRB3_STREAMED_ORACLE)
@@ -610,7 +582,7 @@ def lrb3_toll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted set against the batch pipeline restricted to the windows
     the final watermark closed — the same rule the batch-parity pytest
     proves."""
-    w = 21600  # _LRB3_W: 6h windows, matching the batch shape
+    w = _LRB3_W  # 6h windows, matching the batch shape
     path = _stage_chunks(spark, sf_dir, "lrb3s")
 
     def tool_stream():
@@ -778,8 +750,23 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept windows must aggregate the on-time rows only, and the engine's
     numRowsDroppedByWatermark must equal the staged late set exactly —
     both value-checked in one driver row ('window' rows + one
-    'late_dropped' audit row)."""
+    'late_dropped' audit row).
+
+    The audit oracle models the drop counter as DISTINCT LATE WINDOWS,
+    which is exact only while the late file is read as ONE input
+    partition (the batch's partial aggregation then collapses late rows
+    to exactly one partial per window before the counter). coalesce(1)
+    staging guarantees one FILE; one PARTITION is pinned here by raising
+    spark.sql.files.maxPartitionBytes for the run (restored after) —
+    without the pin, a late file larger than the split size (or a
+    lowered config) would split, the counter would exceed the distinct-
+    window count, and the row would go red on a config knob rather than
+    a semantics bug. This entry is a correctness harness at driver scale
+    factors; on an unbounded production stream the counter reads as
+    >= distinct late windows."""
     path = _stage_late_chunks(spark, sf_dir)
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 31))
     stream = read_transcript_stream(
         spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
     )
@@ -799,13 +786,19 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", ckpt)
         .start()
     )
-    q.processAllAvailable()
-    dropped = sum(
-        s.get("numRowsDroppedByWatermark", 0)
-        for p in q.recentProgress
-        for s in p.get("stateOperators", [])
-    )
-    q.stop()
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            s.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for s in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+        if prev_mpb is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     kept = spark.sql(f"SELECT * FROM {name}").toPandas()
     kept = spark.createDataFrame(kept, schema=spark.table(name).schema).select(
         F.lit("window").alias("part"),

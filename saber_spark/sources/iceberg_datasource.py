@@ -156,22 +156,25 @@ class IcebergBatchReader(DataSourceReader):
 
     def partitions(self) -> Sequence[InputPartition]:
         table = IcebergTable(self.location)
-        if self.snapshot_id is None and self.as_of_ms is None:
-            # pin one snapshot for BOTH the data and delete listings so a
-            # concurrent commit between them cannot mix file sets
-            cur = table.current_snapshot_id()
-            self.snapshot_id = cur if cur != -1 else None
-        files = table.files(
-            snapshot_id=self.snapshot_id,
-            as_of_ms=self.as_of_ms,
-            filters=self.pruning_filters or None,
-        )
+        # one metadata read + one manifest walk yields BOTH the data and
+        # delete sets — pinned to a single snapshot by construction
+        meta = table._read_metadata()
+        entries = table._live_entries(self.snapshot_id, self.as_of_ms, meta=meta)
+        spec = {
+            f["source-name"]: f for f in table._partition_fields(meta)
+        }
+        from saber_spark.sources.iceberg_format import _pruned
+
+        files = [
+            d
+            for d in entries
+            if d.get("content", 0) == 0
+            and not (self.pruning_filters and _pruned(d, self.pruning_filters, spec))
+        ]
         # merge-on-read: hand each partition exactly the delete files
         # that reference it (referenced_data_files from the manifest), so
         # executors never open unrelated delete files
-        dels = table.delete_files(
-            snapshot_id=self.snapshot_id, as_of_ms=self.as_of_ms
-        )
+        dels = [d for d in entries if d.get("content", 0) == 1]
         by_target: dict[str, list[str]] = {}
         for d in dels:
             for ref in d.get("referenced_data_files", []):

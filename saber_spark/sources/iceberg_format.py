@@ -409,10 +409,15 @@ class IcebergTable:
         data_files: list[dict],
         operation: str,
         summary_extra: dict | None,
+        validate=None,
     ) -> dict:
         """Write the manifest + manifest list, then run the commit loop.
         The manifest files are immutable and written once; only the
-        metadata json is rebuilt on a conflict retry."""
+        metadata json is rebuilt on a conflict retry. ``validate``, if
+        given, runs against each fresh base inside the commit loop
+        (raise ``ValidationFailed`` to abort — e.g. a merge-on-read
+        delete whose referenced data files were rewritten concurrently
+        must not commit positions into files no reader will ever open)."""
         snap_id = uuid.uuid4().int >> 75  # 53-bit, JSON-exact
         manifest_path = os.path.join(
             self.meta_dir, f"{uuid.uuid4().hex}-m0.manifest.json"
@@ -436,6 +441,8 @@ class IcebergTable:
                 for s in base["snapshots"]
             ):
                 raise AlreadyCommitted(tag)
+            if validate is not None:
+                validate(base)
             seq = base["last-sequence-number"] + 1
             parent = base["current-snapshot-id"]
             now_ms = int(time.time() * 1000)
@@ -551,6 +558,7 @@ class IcebergTable:
         removed_paths: set[str],
         operation: str,
         summary_extra: dict | None = None,
+        known_delete_paths: set[str] | None = None,
     ) -> dict:
         """Commit that replaces ``removed_paths`` with ``new_files`` and
         carries every other live file forward. Concurrent appends merge
@@ -578,6 +586,22 @@ class IcebergTable:
                 if p in removed_paths:
                     continue
                 if d.get("content", 0) == 1:
+                    if (
+                        known_delete_paths is not None
+                        and p not in known_delete_paths
+                        and set(d.get("referenced_data_files", [])) & removed_paths
+                    ):
+                        # delete-conflict validation (what real Iceberg's
+                        # rewrite validation does): a merge-on-read delete
+                        # landed on one of OUR input files AFTER we read
+                        # it — our rewritten rows predate that delete, so
+                        # dropping/trimming it would resurrect rows.
+                        # Fail the rewrite; the caller re-reads and
+                        # retries against the fresh state.
+                        raise ValidationFailed(
+                            f"concurrent merge-on-read delete {p} targets "
+                            "files being rewritten — retry the rewrite"
+                        )
                     # position deletes name (file, pos) pairs in IMMUTABLE
                     # files — once a referenced data file is rewritten
                     # (deletes applied by the delete-aware read), its
@@ -791,16 +815,44 @@ class IcebergTable:
             entries = self._write_position_deletes(spark, meta, sorted(paths), pred)
             if not entries:
                 return meta  # bounds admitted a match but no row matched
+            refs = {
+                p for e in entries for p in e.get("referenced_data_files", [])
+            }
+
+            def _targets_still_live(base: dict) -> None:
+                live_data = {
+                    p
+                    for p, d in self._live_files(base).items()
+                    if d.get("content", 0) == 0
+                }
+                gone = refs - live_data
+                if gone:
+                    # a concurrent rewrite replaced files we computed
+                    # positions against — committing would silently lose
+                    # this delete (positions point into dead files)
+                    raise ValidationFailed(
+                        f"merge-on-read delete targets rewritten files: "
+                        f"{sorted(gone)[:3]} — re-run the delete"
+                    )
+
             return self._snapshot_commit(
                 entries,
                 "delete",
                 {"saber.delete-mode": "merge-on-read"},
+                validate=_targets_still_live,
             )
+        known_dels = {
+            p
+            for p, d in self._live_files(meta).items()
+            if d.get("content", 0) == 1
+        }
         keep = self._read_paths(spark, meta, sorted(paths)).where(
             ~F.coalesce(pred, F.lit(False))
         )
         new_files = self._write_data_files(keep, meta)
-        return self._rewrite_commit(new_files, paths, "delete")
+        return self._rewrite_commit(
+            new_files, paths, "delete", known_delete_paths=known_dels
+        )
 
     def _write_position_deletes(
         self, spark: SparkSession, meta: dict, paths: list[str], pred
@@ -901,11 +953,11 @@ class IcebergTable:
             # empty source: MERGE is the identity — bail out before the
             # no-bounds path below rewrites every live file for nothing
             return self._snapshot(meta) or {}
-        live = [
-            d
-            for d in self._live_files(meta).values()
-            if d.get("content", 0) == 0
-        ]
+        all_live = self._live_files(meta)
+        known_dels = {
+            p for p, d in all_live.items() if d.get("content", 0) == 1
+        }
+        live = [d for d in all_live.values() if d.get("content", 0) == 0]
         affected, carried_n = [], 0
         for d in live:
             lo, hi = d["lower_bounds"].get(k0), d["upper_bounds"].get(k0)
@@ -923,7 +975,8 @@ class IcebergTable:
         survivors = target.join(source, on=key_cols, how="left_anti").select(*cols)
         new_files = self._write_data_files(survivors.unionByName(source), meta)
         return self._rewrite_commit(
-            new_files, set(affected), "overwrite", summary_extra
+            new_files, set(affected), "overwrite", summary_extra,
+            known_delete_paths=known_dels,
         )
 
     def rewrite_data_files(
@@ -969,7 +1022,8 @@ class IcebergTable:
         ).repartition(n_out)
         new_files = self._write_data_files(df, meta)
         return self._rewrite_commit(
-            new_files, {d["file_path"] for d in small}, "replace"
+            new_files, {d["file_path"] for d in small}, "replace",
+            known_delete_paths={d["file_path"] for d in deletes},
         )
 
     def add_column(self, name: str, spark_type: str) -> dict:
@@ -1037,10 +1091,14 @@ class IcebergTable:
         with open(snap["manifest-list"]) as f:
             return json.load(f)
 
-    def _live_entries(self, snapshot_id=None, as_of_ms=None) -> list[dict]:
+    def _live_entries(
+        self, snapshot_id=None, as_of_ms=None, meta: dict | None = None
+    ) -> list[dict]:
         """Every live manifest entry (data AND delete files) of one
-        snapshot."""
-        meta = self._read_metadata()
+        snapshot. Pass ``meta`` to reuse an already-read metadata json
+        (scan/planning paths list manifests exactly once)."""
+        if meta is None:
+            meta = self._read_metadata()
         snap = self._snapshot(meta, snapshot_id, as_of_ms)
         if snap is None:
             return []
@@ -1085,15 +1143,11 @@ class IcebergTable:
         filters=None,
     ) -> DataFrame:
         """Snapshot-isolated scan: the file list is pinned from one
-        snapshot, so concurrent commits never tear the read."""
+        snapshot, so concurrent commits never tear the read. The
+        manifests are listed ONCE (one metadata read, one walk) and split
+        into data/delete sets — the pinning and the I/O bound in one."""
         meta = self._read_metadata()
         snap = self._snapshot(meta, snapshot_id, as_of_ms)
-        if snap is not None:
-            # pin ONE snapshot id for both the data and the delete file
-            # lists — a concurrent commit between the two listings must
-            # not mix file sets from different snapshots
-            snapshot_id, as_of_ms = snap["snapshot-id"], None
-        files = self.files(snapshot_id, as_of_ms, filters)
         ddl = _spark_ddl(
             next(
                 s
@@ -1101,11 +1155,21 @@ class IcebergTable:
                 if s["schema-id"] == meta["current-schema-id"]
             )["fields"]
         )
+        if snap is None:
+            return spark.createDataFrame([], ddl)
+        entries = self._live_entries(snap["snapshot-id"], meta=meta)
+        spec = {f["source-name"]: f for f in self._partition_fields(meta)}
+        files = [
+            d
+            for d in entries
+            if d.get("content", 0) == 0
+            and not (filters and _pruned(d, filters, spec))
+        ]
         if not files:
             return spark.createDataFrame([], ddl)
         df = spark.read.schema(ddl).parquet(*[d["file_path"] for d in files])
         del_paths = [
-            d["file_path"] for d in self.delete_files(snapshot_id, as_of_ms)
+            d["file_path"] for d in entries if d.get("content", 0) == 1
         ]
         if del_paths:  # merge-on-read: fold position deletes into the scan
             df = self._apply_position_deletes(spark, df, del_paths)
@@ -1255,16 +1319,25 @@ class IcebergTable:
 _TS_BOUND_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
 
 
-def _norm_ts_bound(x):
+def _norm_ts_bounds(lo, hi, val):
     """Timestamp bounds serialize with a space separator since r3, but
     manifests written before that carry ISO 'T'-separated strings — a
     lexicographic compare across the two formats can wrongly prune a
     file whose bound shares the date with the literal (' ' < 'T').
-    Normalize ONLY values that look like timestamps; arbitrary text
-    columns containing 'T' must not be rewritten."""
-    if isinstance(x, str) and _TS_BOUND_RE.match(x):
-        return x.replace("T", " ")
-    return x
+
+    Normalization must be ALL-OR-NOTHING across (lo, hi, val): rewriting
+    only the values that individually look like timestamps is not
+    monotonic under lexicographic order (a string column mixing
+    '2024-01-01 50' and '2024-01-01T10:00' would get hi' < lo and
+    wrongly prune). Only when all three match the timestamp shape is the
+    column a timestamp column and the rewrite order-preserving."""
+
+    def is_ts(x):
+        return isinstance(x, str) and _TS_BOUND_RE.match(x)
+
+    if is_ts(lo) and is_ts(hi) and is_ts(val):
+        return lo.replace("T", " "), hi.replace("T", " "), val.replace("T", " ")
+    return lo, hi, val
 
 
 def _pruned(data_file: dict, filters, spec: dict) -> bool:
@@ -1276,11 +1349,11 @@ def _pruned(data_file: dict, filters, spec: dict) -> bool:
             pv = data_file["partition"].get(pf_["name"])
             if pv is not None and op == "=" and pv != str(val):
                 return True
-        lo = _norm_ts_bound(data_file["lower_bounds"].get(col))
-        hi = _norm_ts_bound(data_file["upper_bounds"].get(col))
-        val = _norm_ts_bound(val)
+        lo = data_file["lower_bounds"].get(col)
+        hi = data_file["upper_bounds"].get(col)
         if lo is None or hi is None:
             continue
+        lo, hi, val = _norm_ts_bounds(lo, hi, val)
         if isinstance(val, (int, float)) and isinstance(lo, str):
             continue  # incomparable, keep
         try:

@@ -97,10 +97,14 @@ def streaming_count_windows(
     the eviction frontier normally advances only through COMPLETE
     windows, so a hole in turn_idx (a dropped/corrupt turn) leaves one
     window that never completes and would otherwise pin every later
-    pane in state forever. When the newest complete window runs more
-    than ``max_window_lag`` windows ahead of the frontier, the stalled
-    windows are ABANDONED (they can never emit — their panes evict) and
-    the frontier jumps to (newest - max_window_lag). The trade is
+    pane in state forever. When the NEWEST PANE SEEN implies a window
+    more than ``max_window_lag`` windows ahead of the frontier, the
+    stalled windows are ABANDONED (they can never emit — their panes
+    evict) and the frontier jumps to (newest - max_window_lag). The
+    bound is measured from the newest pane, not the newest complete
+    window: a stream whose gaps recur at least once per window span
+    never completes ANY window, so a completion-based bound would never
+    fire and state would still grow without limit. The trade is
     explicit: a window whose missing turn arrives later than
     size + max_window_lag·slide turns out of order is dropped rather
     than kept as immortal state. None disables the bound (bounded
@@ -247,12 +251,14 @@ def streaming_count_windows(
         frontier = int(frontier)
         while frontier in after_w:
             frontier += 1
-        if max_window_lag is not None and len(after):
-            newest = int(after["w"].max())
+        if max_window_lag is not None and not pend.empty:
+            # poison-gap bound, anchored to the NEWEST PANE (not the
+            # newest complete window — recurring gaps can keep every
+            # window incomplete forever): windows stalled more than
+            # max_window_lag behind it are abandoned (docstring trade) —
+            # their panes evict below
+            newest = int(pend["p"].to_numpy(dtype="int64").max() // stride)
             if newest - frontier > max_window_lag:
-                # poison-gap bound: windows stalled more than
-                # max_window_lag behind the newest COMPLETE window are
-                # abandoned (docstring trade) — their panes evict below
                 frontier = newest - max_window_lag
                 while frontier in after_w:
                     frontier += 1

@@ -677,3 +677,93 @@ def test_pruning_normalizes_timestamp_separator():
     }
     assert _pruned(txt, [("s", "=", "Aardvark")], {})
     assert not _pruned(txt, [("s", "=", "Toast")], {})
+    # normalization must be all-or-nothing across (lo, hi, val): a string
+    # column MIXING timestamp-shaped and other values must compare raw —
+    # per-value rewriting is not monotonic (hi' < lo here) and wrongly
+    # pruned a file containing the matching row
+    mixed = {
+        "partition": {},
+        "lower_bounds": {"s": "2024-01-01 50"},
+        "upper_bounds": {"s": "2024-01-01T10:00:00"},
+    }
+    assert not _pruned(mixed, [("s", "=", "2024-01-01 50")], {})
+
+
+def test_mor_delete_rewrite_race_validations(spark):
+    """Both orders of the MoR-delete / rewrite race must fail loudly
+    instead of silently resurrecting or losing rows:
+
+    (a) a rewrite whose input files gained a merge-on-read delete AFTER
+        the rewrite read them must raise ValidationFailed (its rewritten
+        rows predate the delete — dropping the delete entry would
+        resurrect rows);
+    (b) a merge-on-read delete whose referenced data files were
+        rewritten between its read and its commit must raise
+        ValidationFailed (its positions point into dead files — a
+        silent commit would lose the delete)."""
+    from pyspark.sql import functions as F2
+    from saber_spark.sources.iceberg_format import ValidationFailed
+
+    # (a) rewrite-then-delete-lands-first
+    loc = _fresh("mor_race_a")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    data_paths = {d["file_path"] for d in t.files()}
+    # "rewrite" reads now (no deletes exist yet) ...
+    keep = t._read_paths(spark, t._read_metadata(), sorted(data_paths)).where(
+        F2.col("role") != "user"
+    )
+    new_files = t._write_data_files(keep, t._read_metadata())
+    # ... a MoR delete lands while the rewrite is in flight
+    t.delete_where(spark, [("role", "=", "tool")], mode="merge-on-read")
+    with pytest.raises(ValidationFailed, match="merge-on-read delete"):
+        t._rewrite_commit(new_files, data_paths, "delete",
+                          known_delete_paths=set())
+    # re-planned against fresh state (deletes now known + applied): commits
+    meta = t._read_metadata()
+    known = {p for p, d in t._live_files(meta).items()
+             if d.get("content", 0) == 1}
+    keep2 = t._read_paths(spark, meta, sorted(data_paths)).where(
+        F2.col("role") != "user"
+    )
+    t._rewrite_commit(t._write_data_files(keep2, meta), data_paths, "delete",
+                      known_delete_paths=known)
+    back = t.scan(spark)
+    assert back.where(F2.col("role") == "user").count() == 0
+    assert back.where(F2.col("role") == "tool").count() == 0, (
+        "the concurrent MoR delete must survive the re-planned rewrite"
+    )
+
+    # (b) delete computed, then its target files rewritten before commit
+    loc = _fresh("mor_race_b")
+    t2 = IcebergTable.create(loc, src)
+    t2.append(src)
+    meta2 = t2._read_metadata()
+    paths2 = sorted(d["file_path"] for d in t2.files())
+    pred = F2.expr("role == 'user'")
+    entries = t2._write_position_deletes(spark, meta2, paths2, pred)
+    assert entries
+    # a concurrent COPY-ON-WRITE delete rewrites every file our pending
+    # MoR delete references (its bounds admit a match in each)
+    t2.delete_where(spark, [("role", "=", "tool")], mode="copy-on-write")
+    refs = {p for e in entries for p in e.get("referenced_data_files", [])}
+    assert refs - {d["file_path"] for d in t2.files()}, (
+        "precondition: the referenced files must actually be gone"
+    )
+
+    def _validate(base):
+        live_data = {p for p, d in t2._live_files(base).items()
+                     if d.get("content", 0) == 0}
+        gone = refs - live_data
+        if gone:
+            raise ValidationFailed(f"targets rewritten: {sorted(gone)[:3]}")
+
+    with pytest.raises(ValidationFailed, match="rewritten"):
+        t2._snapshot_commit(entries, "delete",
+                            {"saber.delete-mode": "merge-on-read"},
+                            validate=_validate)
+    # the delete never committed: rows intact, re-running it works
+    assert t2.scan(spark).where(F2.col("role") == "user").count() > 0
+    t2.delete_where(spark, [("role", "=", "user")], mode="merge-on-read")
+    assert t2.scan(spark).where(F2.col("role") == "user").count() == 0

@@ -428,6 +428,65 @@ def test_sliding_count_window_poison_gap_lag_bound(spark, lag):
     assert (got.n_turns >= 4).all()
 
 
+@pytest.mark.parametrize("lag", [3, None])
+def test_sliding_count_window_recurring_gaps_still_bounded(spark, lag):
+    """The lag bound must anchor to the newest PANE, not the newest
+    complete window: with a gap recurring once per window span NO window
+    ever completes, so a completion-anchored bound never fires and pane
+    state grows forever. A/B via a very-late gap fill: with lag=3 the
+    old panes were evicted (the fill resurrects nothing); with lag=None
+    everything was retained and the fill completes windows 0 and 1."""
+    import datetime as dt
+
+    from saber_spark.streaming.stateful import streaming_count_windows as scw
+    import pyspark.sql.types as T
+
+    base = dt.datetime(2024, 1, 1)
+    tag = f"recgap_{lag}"
+    tmp = os.path.join(TMP, f"{tag}_stream")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(os.path.join(TMP, f"ckpt_{tag}"), ignore_errors=True)
+    os.makedirs(tmp)
+
+    # size=4/slide=2: window w = turns [2w, 2w+4). Dropping idx ≡ 3
+    # (mod 4) poisons EVERY window (each spans 4 consecutive idxs).
+    chunks = [
+        [("A", i, 10 + i, base + dt.timedelta(seconds=i))
+         for i in range(0, 40) if i % 4 != 3],
+        [("A", 3, 13, base + dt.timedelta(seconds=300))],  # late gap fill
+    ]
+    schema = "conv_id string, turn_idx int, text_len long, ts timestamp"
+    for k, ch in enumerate(chunks):
+        spark.createDataFrame(ch, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, f"chunk={k:03d}"))
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("conv_id", T.StringType()),
+                    T.StructField("turn_idx", T.IntegerType()),
+                    T.StructField("text_len", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/chunk=*")
+    )
+    out = scw(stream, size=4, slide=2, value_col="text_len", max_window_lag=lag)
+    q = _run_to_memory(out, tag, "append")
+    try:
+        got = spark.sql(f"SELECT window_id FROM {tag}").toPandas()
+    finally:
+        q.stop()
+    emitted = set(got.window_id.tolist())
+    if lag is None:
+        assert emitted == {0, 1}, emitted
+    else:
+        assert emitted == set(), emitted
+
+
 def test_streaming_pane_sliding_parity(spark, stream_dir):
     """The streaming pane operator (applyInPandasWithState subtract-on-
     evict) must emit exactly the windows the batch pane layer produces,
