@@ -67,11 +67,13 @@ def _headline_builders(qs: dict) -> dict:
         row_window_sliding_agg,
         theta_join_hot_salted,
         theta_join_row_window,
+        theta_join_windowed,
     )
 
     out = dict(qs)
     for fn in (cm1_pane_fanout, cm1_pane_incremental, row_window_sliding_agg,
-               theta_join_hot_salted, theta_join_row_window):
+               theta_join_hot_salted, theta_join_row_window,
+               theta_join_windowed):
         out.setdefault(fn.__name__, fn)
     return out
 

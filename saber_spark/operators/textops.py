@@ -11,7 +11,7 @@ DuckDB-replicable definition so the driver value-checks them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -202,3 +202,74 @@ def redact_pii(col: str | Column) -> Column:
     for pat, token in PII_PATTERNS:
         c = F.regexp_replace(c, pat, token)
     return c
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 spirit):
+# a doc is kept only if no single word dominates, the vocabulary is not
+# degenerate, and no bigram loops. Computed from the ROUNDED fractions so
+# the keep decision is identical on any engine.
+TOP_WORD_FRAC_MAX = 0.2
+DISTINCT_WORD_RATIO_MIN = 0.3
+TOP_BIGRAM_FRAC_MAX = 0.18
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition / boilerplate filters over a document corpus: per doc,
+    the most-frequent-word fraction, distinct-word ratio, and
+    most-frequent-bigram fraction, plus the keep decision under the
+    module thresholds — the repetition-removal gate of a training-data
+    curation pipeline (quality_score catches junk, this catches loops).
+
+    Scale shape: explode-then-aggregate — token counts partial-aggregate
+    map-side before the (id, token) shuffle, the per-doc reduction is a
+    second partial-aggregated groupBy, and the word/bigram branches join
+    back on the id hash. Row volume is O(total tokens), the same order
+    as reading the text; no driver-side state.
+    """
+    i = F.col(id_col)
+    base = df.select(i, words(text_col).alias("ws"))
+    grams = base.select(
+        i,
+        F.col("ws"),
+        F.when(
+            F.size("ws") >= 2,
+            F.expr(
+                "transform(sequence(1, size(ws)-1),"
+                " k -> concat(element_at(ws, k), ' ', element_at(ws, k+1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("bs"),
+    )
+    wagg = (
+        grams.select(i, F.explode("ws").alias("t"))
+        .groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col).agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_word_n"),
+        )
+    )
+    bagg = (
+        grams.select(i, F.explode("bs").alias("g"))
+        .groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col).agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_n"),
+        )
+    )
+    prof = wagg.join(bagg, id_col, "left").select(
+        i,
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(F.col("top_word_n") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(F.col("n_distinct") / F.col("n_words"), 6).alias("distinct_word_ratio"),
+        F.round(
+            F.coalesce(F.col("top_bigram_n") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+    return prof.withColumn(
+        "keep",
+        (F.col("top_word_frac") <= TOP_WORD_FRAC_MAX)
+        & (F.col("distinct_word_ratio") >= DISTINCT_WORD_RATIO_MIN)
+        & (F.col("top_bigram_frac") <= TOP_BIGRAM_FRAC_MAX),
+    )

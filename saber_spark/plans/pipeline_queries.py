@@ -295,9 +295,10 @@ SELECT query_id, nbr_id, cosine, rk FROM (
 """
 
 
-@register("similarity_cosine_topk", _TOPK_ORACLE)
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force top-5 neighbours for query vectors vec_id<20."""
+    """Exact brute-force top-5 neighbours for query vectors vec_id<20.
+    (Driver-checked through similarity_topk_strategies since r4; kept
+    exported for bench/tests.)"""
     e = _embs(spark, sf_dir)
     return sim.cosine_topk(e, e.where(F.col("vec_id") < 20), k=5)
 
@@ -377,16 +378,122 @@ SELECT query_id, nbr_id, cosine, rk FROM (
 """
 
 
-@register("similarity_ivf_topk", _IVF_ORACLE)
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5: broadcast deterministic centroid codebook, base
     corpus shuffled once into nearest-centroid cells (inverted lists),
     queries (vec_id<20) probe their 3 closest cells, exact cosine ranks
-    candidates — the centroid-partitioned counterpart to the LSH path."""
+    candidates — the centroid-partitioned counterpart to the LSH path.
+    (Driver-checked through similarity_topk_strategies since r4.)"""
     e = _embs(spark, sf_dir)
     return sim.ivf_topk(
         e, e.where(F.col("vec_id") < 20),
         k=5, stride=_IVF_STRIDE, n_probes=_IVF_PROBES,
+    )
+
+
+# Both top-k retrieval strategies in ONE driver row (r4 rotation — same
+# discipline as cm1_pane_strategies): the exact brute-force baseline and
+# the IVF inverted-file path are strategy-tagged and unioned, so a single
+# value-hash check verifies the exact scorer AND the cell-probed ANN
+# against their respective SQL twins. Freed slots fund dedup_embedding
+# and turn_latency_analytics.
+_TOPK_STRATEGIES_ORACLE = f"""
+SELECT 'exact' AS strategy, * FROM ({_TOPK_ORACLE})
+UNION ALL
+SELECT 'ivf' AS strategy, * FROM ({_IVF_ORACLE})
+"""
+
+
+@register("similarity_topk_strategies", _TOPK_STRATEGIES_ORACLE)
+def similarity_topk_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = similarity_cosine_topk(spark, sf_dir).select(
+        F.lit("exact").alias("strategy"), "*")
+    iv = similarity_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("strategy"), "*")
+    return ex.unionByName(iv)
+
+
+# Embedding-cosine near-dup dedup — the fifth dedup modality (exact /
+# Jaccard / MinHash / SimHash / embedding): RP-LSH bucketed candidate
+# pairs verified at cosine >= threshold become the near-dup graph, then
+# large-star/small-star connected components (O(log n) rounds — this is
+# the star variant's own driver row) label every vector with its
+# cluster's min vec_id; singletons label themselves, and the canonical
+# representative of a cluster is the vector whose component_id equals
+# its own vec_id. At 100 TB the plan is: one bucket equi-join (never
+# all-pairs), candidate-restricted exact verification, O(log n)
+# contraction rounds — no driver-side loops over data. Oracle: the same
+# integer-arithmetic hyperplane buckets + exact cosine in SQL, closed
+# transitively with a recursive CTE.
+_EMB_DEDUP_ORACLE = f"""
+WITH RECURSIVE
+bk AS (SELECT vec_id, embedding, {_rp_bucket_sql()} AS bucket FROM embeddings),
+nb AS (SELECT vec_id, embedding, bucket,
+              sqrt({_dotseq("embedding", "embedding")}) AS nrm FROM bk),
+prs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_dotseq("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.4
+),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(node, label) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+)
+SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""
+
+
+# Repetition / boilerplate filters (Gopher-style): per-doc top-word
+# fraction, distinct-word ratio, top-bigram fraction, and the keep gate —
+# the loop-detector of a curation pipeline. The keep decision is computed
+# from the ROUNDED fractions on both engines, so the boolean is portable.
+_REPETITION_ORACLE = f"""
+WITH {_W},
+tok AS (SELECT doc_id, unnest(words) AS t FROM w),
+wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                count(*) AS n_distinct, max(c) AS top_word_n
+         FROM wc GROUP BY 1),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(words)),
+                                    k -> words[k] || ' ' || words[k+1])) AS g
+       FROM w WHERE len(words) >= 2),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                max(c) AS top_bigram_n
+         FROM bc GROUP BY 1),
+prof AS (
+    SELECT wagg.doc_id, n_words,
+           round(top_word_n / n_words, 6)   AS top_word_frac,
+           round(n_distinct / n_words, 6)   AS distinct_word_ratio,
+           round(coalesce(top_bigram_n / n_bigrams, 0), 6) AS top_bigram_frac
+    FROM wagg LEFT JOIN bagg USING (doc_id)
+)
+SELECT doc_id, n_words, top_word_frac, distinct_word_ratio, top_bigram_frac,
+       (top_word_frac <= {tx.TOP_WORD_FRAC_MAX}
+        AND distinct_word_ratio >= {tx.DISTINCT_WORD_RATIO_MIN}
+        AND top_bigram_frac <= {tx.TOP_BIGRAM_FRAC_MAX}) AS keep
+FROM prof
+"""
+
+
+@register("text_repetition", _REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.repetition_profile(_docs(spark, sf_dir))
+
+
+@register("dedup_embedding", _EMB_DEDUP_ORACLE)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    pairs = sim.rp_lsh_pairs(e, n_planes=12, threshold=0.4)
+    comps = dd.connected_components_star(pairs).withColumnRenamed("node", "vec_id")
+    return e.select("vec_id").join(comps, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("component_id", F.col("vec_id")).cast("long").alias("component_id"),
     )
 
 

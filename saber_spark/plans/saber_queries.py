@@ -274,16 +274,13 @@ JOIN transcripts b
 WHERE a.role = 'assistant' AND b.role = 'tool'
 """
 
-_THETA_ORACLE = with_transcripts_oracle(_THETA_BODY)
-
-
-@register("theta_join_windowed", _THETA_ORACLE)
 def theta_join_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed theta join: assistant turns x tool turns of the same
     conversation within +/-6h, non-equi predicate on text length.
     Catalyst executes the conv_id equality as a shuffled equi-join (one
     shuffle per side, never the reference's O(n*m) scan); interval +
-    theta conditions become join filters."""
+    theta conditions become join filters. (Driver-checked through
+    theta_join_strategies since r4, alongside its stream-stream twin.)"""
     t = transcripts(spark, sf_dir)
     a = t.where(cmp("role", "=", "assistant")).select(
         F.col("conv_id"), F.col("turn_idx").alias("a_turn"),
@@ -378,40 +375,70 @@ def asof_join_latest_tool_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Session windows (north_star requirement; absent in the reference)
 # --------------------------------------------------------------------------
 
-_SESSION_ORACLE = with_transcripts_oracle("""
-, marked AS (
-    SELECT conv_id, turn_idx, ts, length(text) AS text_len,
-           CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
-                THEN 1 ELSE 0 END AS new_sess
-    FROM transcripts
-    WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
-),
-sess AS (
-    SELECT *, SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
-                                  ROWS UNBOUNDED PRECEDING) AS sess_no
-    FROM marked
-)
-SELECT CAST(floor(epoch(min(ts))) AS BIGINT)        AS session_start,
-       CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
-       conv_id,
-       count(*)                                      AS n_turns,
-       CAST(sum(text_len) AS BIGINT)                 AS sum_len
-FROM sess
-GROUP BY conv_id, sess_no
-""")
-
-
-@register("session_window_agg", _SESSION_ORACLE)
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (30 min) per conversation via Spark's
-    native session_window; oracle is a gaps-and-islands rewrite."""
+    native session_window; oracle is a gaps-and-islands rewrite.
+    (Driver-checked through session_window_strategies since r4.)"""
     t = transcripts(spark, sf_dir)
     return session_aggregate(
         t.select("conv_id", "ts", F.length("text").alias("text_len")),
         gap_s=1800,
         aggs=[AggSpec("cnt", "*", "n_turns"),
               AggSpec("sum", F.col("text_len").cast("long"), "sum_len")],
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered-window analytics (lead over per-conversation turn order): the
+# inter-turn latency profile of the transcript corpus — who waits on
+# whom, per (role → next-role) transition. First driver row exercising
+# Spark's ordered window-frame functions (lead/lag) directly; the gap is
+# computed in whole seconds (floored epochs) so the grouped average is a
+# single exact integer division on both engines — no float-summation
+# order sensitivity. Scale: one shuffle on conv_id for the window, one
+# partial-aggregated shuffle on the (role, next_role) pairs (bounded
+# cardinality: |roles|²).
+# --------------------------------------------------------------------------
+
+_LATENCY_ORACLE = with_transcripts_oracle("""
+, lat AS (
+    SELECT role,
+           lead(role) OVER w AS next_role,
+           CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s,
+           lead(length(text)) OVER w AS reply_len
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT role, next_role,
+       count(*) AS n_gaps,
+       round(CAST(sum(gap_s) AS DOUBLE) / count(*), 6) AS avg_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+       CAST(sum(reply_len) AS BIGINT) AS sum_reply_len
+FROM lat WHERE next_role IS NOT NULL
+GROUP BY role, next_role
+""")
+
+
+@register("turn_latency_analytics", _LATENCY_ORACLE)
+def turn_latency_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat = t.select(
+        "role",
+        F.lead("role").over(w).alias("next_role"),
+        (F.floor(F.lead(F.col("ts").cast("timestamp")).over(w).cast("double"))
+         - F.floor(F.col("ts").cast("timestamp").cast("double")))
+        .cast("long").alias("gap_s"),
+        F.lead(F.length("text")).over(w).alias("reply_len"),
+    ).where(F.col("next_role").isNotNull())
+    return lat.groupBy("role", "next_role").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.sum("gap_s").cast("double") / F.count(F.lit(1)), 6).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.sum("reply_len").cast("long").alias("sum_reply_len"),
     )
 
 

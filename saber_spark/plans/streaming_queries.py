@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from saber_spark.operators.aggregation import AggSpec
 from saber_spark.operators.windows import RANGE, WindowDef
 from saber_spark.plans.registry import register
-from saber_spark.plans.saber_queries import _THETA_ORACLE, _YSB_ORACLE, transcripts
+from saber_spark.plans.saber_queries import _THETA_BODY, _YSB_ORACLE, transcripts
 from saber_spark.sources.transcripts import with_transcripts_oracle
 from saber_spark.streaming.jobs import (
     TRANSCRIPT_SCHEMA,
@@ -339,7 +339,6 @@ def ysb_windowed_agg_sunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("theta_join_streamed", _THETA_ORACLE)
 def theta_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The windowed ThetaJoin executed as a real stream-stream join
     (QueryApplication.java:63-85 two-stream entry point): both sides are
@@ -349,7 +348,7 @@ def theta_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ThetaJoin.java:171-196) done by the state store. Inner join +
     chronological micro-batches ⇒ every match is emitted, so the
     streaming execution is checked against the SAME oracle as the batch
-    plan."""
+    plan. (Driver-checked through theta_join_strategies since r4.)"""
     from saber_spark.streaming.jobs import streaming_stream_stream_join
 
     path = _stage_chunks(spark, sf_dir, "ssj")
@@ -372,6 +371,30 @@ def theta_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = joined.select(a["conv_id"].alias("conv_id"),
                         "a_turn", "b_turn", "a_len", "b_len")
     return _run_complete(spark, out, "theta_streamed")
+
+
+# Batch plan AND real stream-stream execution of the SAME windowed
+# ThetaJoin in one driver row (r4 rotation, cm1_pane_strategies
+# discipline): both produce the identical match set, so the tagged union
+# value-checks that the state-store eviction path agrees row-for-row
+# with the Catalyst equi-join + interval-filter plan.
+_THETA_STRATEGIES_ORACLE = with_transcripts_oracle(f"""
+, tj AS ({_THETA_BODY})
+SELECT 'batch' AS strategy, * FROM tj
+UNION ALL
+SELECT 'streamed' AS strategy, * FROM tj
+""")
+
+
+@register("theta_join_strategies", _THETA_STRATEGIES_ORACLE)
+def theta_join_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from saber_spark.plans.saber_queries import theta_join_windowed
+
+    batch = theta_join_windowed(spark, sf_dir).select(
+        F.lit("batch").alias("strategy"), "*")
+    streamed = theta_join_streamed(spark, sf_dir).select(
+        F.lit("streamed").alias("strategy"), "*")
+    return batch.unionByName(streamed)
 
 
 # CM1 on the STREAMING pane path: the subtract-on-evict pane operator over
@@ -431,9 +454,38 @@ def cm1_grouped_sliding_agg_streamed(spark: SparkSession, sf_dir: str) -> DataFr
 _SESSION_STREAM_GAP = 1800
 _SESSION_STREAM_DELAY = 1800
 
-_SESSION_STREAMED_ORACLE = with_transcripts_oracle(f"""
+def session_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session windows on a real stream (append mode): the
+    driver value-checks exactly the sessions the watermark closed.
+    (Driver-checked through session_window_strategies since r4, with
+    sum_len added so both legs share one schema.)"""
+    from saber_spark.operators.aggregation import AggSpec
+    from saber_spark.streaming.jobs import streaming_session_aggregate
+
+    path = _stage_chunks(spark, sf_dir, "sess")
+    stream = read_transcript_stream(
+        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
+    )
+    agg = streaming_session_aggregate(
+        stream,
+        gap_s=_SESSION_STREAM_GAP,
+        aggs=[AggSpec("cnt", "*", "n_turns"),
+              AggSpec("sum", F.col("text_len").cast("long"), "sum_len")],
+        keys=("conv_id",),
+        watermark=f"{_SESSION_STREAM_DELAY} seconds",
+    )
+    return _run_complete(spark, agg, "session_streamed")
+
+
+# Batch session_window AND the watermarked streaming execution in one
+# driver row (r4 rotation): same 30-min gap, so one gaps-and-islands CTE
+# feeds both legs — the batch leg is every session, the streamed leg the
+# subset the final watermark closed (append-mode emit set). The tagged
+# union value-checks native session_window against the state-store
+# session path row-for-row.
+_SESSION_STRATEGIES_ORACLE = with_transcripts_oracle(f"""
 , marked AS (
-    SELECT conv_id, turn_idx, ts,
+    SELECT conv_id, turn_idx, ts, length(text) AS text_len,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch(ts) - epoch(lag(ts) OVER w) >= {_SESSION_STREAM_GAP}
                 THEN 1 ELSE 0 END AS new_sess
@@ -445,37 +497,35 @@ sess AS (
                                   ROWS UNBOUNDED PRECEDING) AS sess_no
     FROM marked
 ),
-wm AS (SELECT max(ts) AS max_ts FROM transcripts)
-SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-       CAST(floor(epoch(max(ts))) AS BIGINT) + {_SESSION_STREAM_GAP} AS session_end,
-       conv_id,
-       count(*) AS n_turns
-FROM sess
-GROUP BY conv_id, sess_no
-HAVING epoch(max(ts)) + {_SESSION_STREAM_GAP}
-       <= (SELECT epoch(max_ts) FROM wm) - {_SESSION_STREAM_DELAY}
+wm AS (SELECT max(ts) AS max_ts FROM transcripts),
+grouped AS (
+    SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + {_SESSION_STREAM_GAP} AS session_end,
+           conv_id,
+           count(*) AS n_turns,
+           CAST(sum(text_len) AS BIGINT) AS sum_len,
+           epoch(max(ts)) AS last_ts
+    FROM sess GROUP BY conv_id, sess_no
+)
+SELECT 'batch' AS strategy, session_start, session_end, conv_id, n_turns, sum_len
+FROM grouped
+UNION ALL
+SELECT 'streamed' AS strategy, session_start, session_end, conv_id, n_turns, sum_len
+FROM grouped
+WHERE last_ts + {_SESSION_STREAM_GAP}
+      <= (SELECT epoch(max_ts) FROM wm) - {_SESSION_STREAM_DELAY}
 """)
 
 
-@register("session_window_streamed", _SESSION_STREAMED_ORACLE)
-def session_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked session windows on a real stream (append mode): the
-    driver value-checks exactly the sessions the watermark closed."""
-    from saber_spark.operators.aggregation import AggSpec
-    from saber_spark.streaming.jobs import streaming_session_aggregate
+@register("session_window_strategies", _SESSION_STRATEGIES_ORACLE)
+def session_window_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from saber_spark.plans.saber_queries import session_window_agg
 
-    path = _stage_chunks(spark, sf_dir, "sess")
-    stream = read_transcript_stream(
-        spark, f"{path}/chunk=*", max_files_per_trigger=1, schema=_stream_schema()
-    )
-    agg = streaming_session_aggregate(
-        stream,
-        gap_s=_SESSION_STREAM_GAP,
-        aggs=[AggSpec("cnt", "*", "n_turns")],
-        keys=("conv_id",),
-        watermark=f"{_SESSION_STREAM_DELAY} seconds",
-    )
-    return _run_complete(spark, agg, "session_streamed")
+    batch = session_window_agg(spark, sf_dir).select(
+        F.lit("batch").alias("strategy"), "*")
+    streamed = session_window_streamed(spark, sf_dir).select(
+        F.lit("streamed").alias("strategy"), "*")
+    return batch.unionByName(streamed)
 
 
 # LRB4 accident notification as ONE streaming query with TWO chained

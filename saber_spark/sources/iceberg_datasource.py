@@ -72,10 +72,16 @@ class FilePartition(InputPartition):
 
     ``delete_paths``: position-delete parquet files (spec v2 content=1)
     that reference this data file — the executor folds them in
-    (merge-on-read) while reading. Empty tuple on delete-free tables."""
+    (merge-on-read) while reading. Empty tuple on delete-free tables.
+
+    ``renames``: (file_column_name, current_column_name) pairs for
+    columns this file wrote under a pre-rename name (field-id schema
+    evolution) — the executor reads the file name and emits the current
+    one. Empty tuple when the writer schema matches the current names."""
 
     file_path: str
     delete_paths: tuple = ()
+    renames: tuple = ()
 
 
 _OPS = {
@@ -96,7 +102,20 @@ def _arrow_schema(schema: "StructType"):
     )
 
 
-def _read_file_batches(path: str, arrow_schema, delete_paths=()) -> Iterator:
+def _rename_pairs(table: "IcebergTable", meta: dict, schema_id: int) -> tuple:
+    """(file_name, current_name) pairs where a field's name changed
+    between the file's writer schema and the current schema (matched by
+    field id). Empty tuple when nothing was renamed — the common case."""
+    cur = table._schema_fields(meta)
+    by_id = {f["id"]: f["name"] for f in table._schema_fields(meta, schema_id)}
+    return tuple(
+        (by_id[f["id"]], f["name"])
+        for f in cur
+        if f["id"] in by_id and by_id[f["id"]] != f["name"]
+    )
+
+
+def _read_file_batches(path: str, arrow_schema, delete_paths=(), renames=()) -> Iterator:
     """Executor-side: stream one data file as Arrow batches cast to the
     table schema (column order + TIMESTAMP_NTZ -> session-UTC). Columns
     the file predates (schema evolution: add_column after this file was
@@ -110,10 +129,24 @@ def _read_file_batches(path: str, arrow_schema, delete_paths=()) -> Iterator:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    # field-id rename resolution: ask the file for its OWN column name,
+    # then emit the current name (values survive a rename; a name-based
+    # read would silently null the column instead)
+    to_file = {cur: old for old, cur in renames}
+    to_current = {old: cur for old, cur in renames}
     present = set(pq.read_schema(path).names)
     table = pq.read_table(
-        path, columns=[n for n in arrow_schema.names if n in present]
+        path,
+        columns=[
+            to_file.get(n, n)
+            for n in arrow_schema.names
+            if to_file.get(n, n) in present
+        ],
     )
+    if renames:
+        table = table.rename_columns(
+            [to_current.get(c, c) for c in table.column_names]
+        )
     if delete_paths:
         dels = pa.concat_tables(
             [pq.read_table(p, columns=["file_path", "pos"]) for p in delete_paths]
@@ -123,12 +156,15 @@ def _read_file_batches(path: str, arrow_schema, delete_paths=()) -> Iterator:
             drop = mine.column("pos").to_numpy(zero_copy_only=False)
             keep = np.setdiff1d(np.arange(len(table), dtype="int64"), drop)
             table = table.take(keep)
+    present_current = {to_current.get(n, n) for n in present}
     for field in arrow_schema:
-        if field.name not in present:
+        if field.name not in present_current:
             table = table.append_column(
                 field.name, pa.nulls(len(table), type=field.type)
             )
-    yield from table.cast(arrow_schema).to_batches()
+    # select() reorders: null-fills append at the end, but cast() matches
+    # positionally (a dropped-then-added middle column would misalign)
+    yield from table.select(arrow_schema.names).cast(arrow_schema).to_batches()
 
 
 class IcebergBatchReader(DataSourceReader):
@@ -179,9 +215,15 @@ class IcebergBatchReader(DataSourceReader):
         for d in dels:
             for ref in d.get("referenced_data_files", []):
                 by_target.setdefault(ref, []).append(d["file_path"])
+        ren_by_sid = {
+            sid: _rename_pairs(table, meta, sid)
+            for sid in {int(d.get("schema-id", 0)) for d in files}
+        }
         return [
             FilePartition(
-                d["file_path"], tuple(sorted(by_target.get(d["file_path"], ())))
+                d["file_path"],
+                tuple(sorted(by_target.get(d["file_path"], ()))),
+                ren_by_sid[int(d.get("schema-id", 0))],
             )
             for d in files
         ]
@@ -196,6 +238,7 @@ class IcebergBatchReader(DataSourceReader):
             partition.file_path,
             self.arrow_schema,
             getattr(partition, "delete_paths", ()),
+            getattr(partition, "renames", ()),
         )
 
 
@@ -234,8 +277,18 @@ class IcebergStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         table = IcebergTable(self.location)
-        paths = table.appended_file_paths(start["seq"], end["seq"])
-        return [FilePartition(p) for p in paths]
+        files = table.appended_files(start["seq"], end["seq"])
+        meta = table._read_metadata()
+        ren_by_sid = {
+            sid: _rename_pairs(table, meta, sid)
+            for sid in {int(d.get("schema-id", 0)) for d in files}
+        }
+        return [
+            FilePartition(
+                d["file_path"], (), ren_by_sid[int(d.get("schema-id", 0))]
+            )
+            for d in files
+        ]
 
     def read(self, partition: FilePartition) -> Iterator:
         # pyspark substitutes [None] for an empty partition list — an
@@ -243,7 +296,11 @@ class IcebergStreamReader(DataSourceStreamReader):
         # zero rows, not crash on partition.file_path
         if partition is None:
             return
-        yield from _read_file_batches(partition.file_path, self.arrow_schema)
+        yield from _read_file_batches(
+            partition.file_path,
+            self.arrow_schema,
+            renames=getattr(partition, "renames", ()),
+        )
 
     def commit(self, end: dict) -> None:
         # offsets are durable in the query checkpoint; the table needs no

@@ -50,7 +50,7 @@ import time
 import uuid
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -111,6 +111,38 @@ def _spark_ddl(fields: list[dict]) -> str:
         t = f.get("spark_type") or inv.get(f["type"], f["type"])
         parts.append(f"`{f['name']}` {t}")
     return ", ".join(parts)
+
+
+def _spark_type_of(f: dict) -> str:
+    inv = {"int": "int", "long": "bigint", "timestamp": "timestamp"}
+    return f.get("spark_type") or inv.get(f["type"], f["type"])
+
+
+def _projection_to_current(
+    writer_fields: list[dict], cur_fields: list[dict]
+) -> list[Column] | None:
+    """Field-id column resolution (spec §Schema Evolution): the Column
+    list that projects a DataFrame read under ``writer_fields`` onto the
+    current schema — renames resolve by id (values survive), fields the
+    writer predates become typed nulls, dropped fields are simply not
+    selected. Returns None when the writer schema already IS the current
+    one (the fast path skips the projection node entirely)."""
+    shape = lambda fs: [(f["id"], f["name"], _spark_type_of(f)) for f in fs]  # noqa: E731
+    if shape(writer_fields) == shape(cur_fields):
+        return None
+    by_id = {f["id"]: f for f in writer_fields}
+    proj = []
+    for f in cur_fields:
+        t = _spark_type_of(f)
+        w = by_id.get(f["id"])
+        if w is None:
+            proj.append(F.lit(None).cast(t).alias(f["name"]))
+        else:
+            c = F.col(w["name"])
+            if _spark_type_of(w) != t:
+                c = c.cast(t)
+            proj.append(c.alias(f["name"]))
+    return proj
 
 
 # -- partition transforms (spec §Partition Transforms) ----------------------
@@ -341,6 +373,48 @@ class IcebergTable:
             s["fields"] for s in meta["partition-specs"] if s["spec-id"] == spec_id
         )
 
+    def _schema_fields(self, meta: dict, schema_id: int | None = None) -> list[dict]:
+        sid = meta["current-schema-id"] if schema_id is None else schema_id
+        for s in meta["schemas"]:
+            if s["schema-id"] == sid:
+                return s["fields"]
+        raise ValueError(f"unknown schema-id {sid} in {self.location}")
+
+    def _read_data_entries(
+        self,
+        spark: SparkSession,
+        meta: dict,
+        entries: list[dict],
+        del_paths: list[str] | None = None,
+    ) -> DataFrame:
+        """Read manifest data-file ``entries`` under the CURRENT schema,
+        resolving columns by field id through each file's writer schema
+        (spec §Schema Evolution): renamed columns keep their values, a
+        column the file predates reads as null, dropped columns vanish.
+        Files are grouped by writer schema-id, so the unevolved common
+        case stays ONE parquet read; position deletes fold in per group
+        (the (file_path, pos) join is schema-independent)."""
+        cur = self._schema_fields(meta)
+        if not entries:
+            return spark.createDataFrame([], _spark_ddl(cur))
+        groups: dict[int, list[str]] = {}
+        for d in entries:
+            groups.setdefault(int(d.get("schema-id", 0)), []).append(d["file_path"])
+        parts = []
+        for sid in sorted(groups):
+            wf = self._schema_fields(meta, sid)
+            rdf = spark.read.schema(_spark_ddl(wf)).parquet(*sorted(groups[sid]))
+            if del_paths:
+                rdf = self._apply_position_deletes(spark, rdf, del_paths)
+            proj = _projection_to_current(wf, cur)
+            if proj is not None:
+                rdf = rdf.select(*proj)
+            parts.append(rdf)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _write_data_files(self, df: DataFrame, meta: dict) -> list[dict]:
         """Write df as parquet data files partitioned by the table's
         transform columns; return manifest data_file entries with stats.
@@ -398,6 +472,11 @@ class IcebergTable:
                         "file_path": dst,
                         "file_format": "PARQUET",
                         "partition": part_vals,
+                        # writer schema: rename/drop evolution resolves
+                        # columns by field id through this (entries that
+                        # predate the stamp default to schema 0, which is
+                        # exact for any table created before evolution)
+                        "schema-id": meta["current-schema-id"],
                         **_file_stats(dst),
                     }
                 )
@@ -753,26 +832,21 @@ class IcebergTable:
         """Read data files at ``paths`` under the current schema, with
         live position deletes applied by default — every row-level
         operation that rewrites files MUST see the merge-on-read view,
-        or a copy-on-write rewrite would resurrect MoR-deleted rows."""
-        ddl = _spark_ddl(
-            next(
-                s
-                for s in meta["schemas"]
-                if s["schema-id"] == meta["current-schema-id"]
-            )["fields"]
-        )
+        or a copy-on-write rewrite would resurrect MoR-deleted rows.
+        Columns resolve by field id via each file's writer schema (see
+        _read_data_entries), so rename/drop evolution is rewrite-safe."""
         if not paths:
-            return spark.createDataFrame([], ddl)
-        df = spark.read.schema(ddl).parquet(*paths)
+            return spark.createDataFrame([], _spark_ddl(self._schema_fields(meta)))
+        live = self._live_files(meta)
+        entries = [live.get(p, {"file_path": p}) for p in paths]
+        del_paths = None
         if apply_deletes:
             del_paths = [
                 d["file_path"]
-                for p, d in self._live_files(meta).items()
+                for d in live.values()
                 if d.get("content", 0) == 1
             ]
-            if del_paths:
-                df = self._apply_position_deletes(spark, df, del_paths)
-        return df
+        return self._read_data_entries(spark, meta, entries, del_paths or None)
 
     def delete_where(
         self,
@@ -866,22 +940,38 @@ class IcebergTable:
         files whose targets were rewritten."""
         import pyarrow.parquet as pq
 
-        ddl = _spark_ddl(
-            next(
-                s
-                for s in meta["schemas"]
-                if s["schema-id"] == meta["current-schema-id"]
-            )["fields"]
-        )
+        # the predicate names CURRENT columns, but each file stores its
+        # WRITER schema's names — evaluate per writer-schema group on the
+        # field-id-resolved view (same resolution as _read_data_entries),
+        # keeping (_metadata.file_path, row_index) through the projection
         fp = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-        hits = (
-            spark.read.schema(ddl)
-            .parquet(*paths)
-            .withColumn("file_path", fp)
-            .withColumn("pos", F.col("_metadata.row_index"))
-            .where(F.coalesce(pred, F.lit(False)))
-            .select("file_path", "pos")
-        )
+        live = self._live_files(meta)
+        cur = self._schema_fields(meta)
+        groups: dict[int, list[str]] = {}
+        for p in paths:
+            sid = int(live.get(p, {}).get("schema-id", 0))
+            groups.setdefault(sid, []).append(p)
+        hit_parts = []
+        for sid in sorted(groups):
+            wf = self._schema_fields(meta, sid)
+            rdf = (
+                spark.read.schema(_spark_ddl(wf))
+                .parquet(*sorted(groups[sid]))
+                .withColumn("__fp", fp)
+                .withColumn("__pos", F.col("_metadata.row_index"))
+            )
+            proj = _projection_to_current(wf, cur)
+            if proj is not None:
+                rdf = rdf.select(*proj, F.col("__fp"), F.col("__pos"))
+            hit_parts.append(
+                rdf.where(F.coalesce(pred, F.lit(False))).select(
+                    F.col("__fp").alias("file_path"),
+                    F.col("__pos").alias("pos"),
+                )
+            )
+        hits = hit_parts[0]
+        for h in hit_parts[1:]:
+            hits = hits.unionByName(h)
         live_dels = [
             d["file_path"]
             for d in self._live_files(meta).values()
@@ -1026,20 +1116,35 @@ class IcebergTable:
             known_delete_paths={d["file_path"] for d in deletes},
         )
 
+    @staticmethod
+    def _evolved(base: dict, new_fields: list[dict], last_column_id=None) -> dict:
+        """New metadata dict with ``new_fields`` appended as the current
+        schema (fresh schema-id = max existing + 1, never reused — old
+        ids stay resolvable for every data file that names them)."""
+        sid = max(s["schema-id"] for s in base["schemas"]) + 1
+        new = dict(base)
+        new["schemas"] = base["schemas"] + [
+            {"schema-id": sid, "fields": new_fields}
+        ]
+        new["current-schema-id"] = sid
+        if last_column_id is not None:
+            new["last-column-id"] = last_column_id
+        new["last-updated-ms"] = int(time.time() * 1000)
+        return new
+
     def add_column(self, name: str, spark_type: str) -> dict:
         """Schema evolution: add a nullable column (new field id; data
-        files written before it read back as null — parquet schema merge)."""
+        files written before it read back as null via field-id
+        resolution in _read_data_entries)."""
 
         def build(base: dict) -> dict:
-            cur = next(
-                s
-                for s in base["schemas"]
-                if s["schema-id"] == base["current-schema-id"]
-            )
+            fields = self._schema_fields(base)
+            if name in {f["name"] for f in fields}:
+                raise ValueError(f"column {name!r} already exists")
             fid = base["last-column-id"] + 1
-            new_schema = {
-                "schema-id": cur["schema-id"] + 1,
-                "fields": cur["fields"]
+            return self._evolved(
+                base,
+                fields
                 + [
                     {
                         "id": fid,
@@ -1049,13 +1154,58 @@ class IcebergTable:
                         "spark_type": spark_type,
                     }
                 ],
-            }
-            new = dict(base)
-            new["schemas"] = base["schemas"] + [new_schema]
-            new["current-schema-id"] = new_schema["schema-id"]
-            new["last-column-id"] = fid
-            new["last-updated-ms"] = int(time.time() * 1000)
-            return new
+                last_column_id=fid,
+            )
+
+        return self._commit(build)
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Schema evolution: rename WITHOUT rewriting data — the field id
+        is the identity (spec §Schema Evolution), so files written under
+        the old name keep serving their values through the id-resolving
+        read path. Partition source columns are refused (the spec keys
+        partition specs by source field, but manifests here carry the
+        source NAME, so a rename would orphan existing partition stats)."""
+
+        def build(base: dict) -> dict:
+            fields = self._schema_fields(base)
+            names = {f["name"] for f in fields}
+            if old not in names:
+                raise ValueError(f"no such column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            if any(pf["source-name"] == old for pf in self._partition_fields(base)):
+                raise ValueError(
+                    f"{old!r} is a partition source column — rename is not "
+                    "supported for partition sources in this format"
+                )
+            return self._evolved(
+                base,
+                [dict(f, name=new) if f["name"] == old else f for f in fields],
+            )
+
+        return self._commit(build)
+
+    def drop_column(self, name: str) -> dict:
+        """Schema evolution: drop a column WITHOUT rewriting data — the
+        field simply leaves the current schema; old files still carry the
+        bytes, the id-resolving read path stops selecting them. Refused
+        for partition source columns and for the last remaining column."""
+
+        def build(base: dict) -> dict:
+            fields = self._schema_fields(base)
+            if name not in {f["name"] for f in fields}:
+                raise ValueError(f"no such column {name!r}")
+            if len(fields) == 1:
+                raise ValueError("cannot drop the only column")
+            if any(pf["source-name"] == name for pf in self._partition_fields(base)):
+                raise ValueError(
+                    f"{name!r} is a partition source column — drop the "
+                    "partition spec first"
+                )
+            return self._evolved(
+                base, [f for f in fields if f["name"] != name]
+            )
 
         return self._commit(build)
 
@@ -1148,13 +1298,7 @@ class IcebergTable:
         into data/delete sets — the pinning and the I/O bound in one."""
         meta = self._read_metadata()
         snap = self._snapshot(meta, snapshot_id, as_of_ms)
-        ddl = _spark_ddl(
-            next(
-                s
-                for s in meta["schemas"]
-                if s["schema-id"] == meta["current-schema-id"]
-            )["fields"]
-        )
+        ddl = _spark_ddl(self._schema_fields(meta))
         if snap is None:
             return spark.createDataFrame([], ddl)
         entries = self._live_entries(snap["snapshot-id"], meta=meta)
@@ -1167,12 +1311,11 @@ class IcebergTable:
         ]
         if not files:
             return spark.createDataFrame([], ddl)
-        df = spark.read.schema(ddl).parquet(*[d["file_path"] for d in files])
         del_paths = [
             d["file_path"] for d in entries if d.get("content", 0) == 1
         ]
-        if del_paths:  # merge-on-read: fold position deletes into the scan
-            df = self._apply_position_deletes(spark, df, del_paths)
+        # field-id column resolution + merge-on-read in one grouped read
+        df = self._read_data_entries(spark, meta, files, del_paths or None)
         if filters:
             for col, op, val in filters:  # residual row-level filter
                 ops = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
@@ -1188,8 +1331,14 @@ class IcebergTable:
         the half-open range ``(from_seq, to_seq]`` — the replayable unit a
         streaming source plans micro-batches from (snapshots are
         immutable, so a range always resolves to the same files)."""
+        return [d["file_path"] for d in self.appended_files(from_seq, to_seq)]
+
+    def appended_files(self, from_seq: int, to_seq: int) -> list[dict]:
+        """appended_file_paths, but full manifest data_file entries —
+        streaming readers need each file's writer ``schema-id`` to
+        resolve renamed columns by field id."""
         meta = self._read_metadata()
-        paths: list[str] = []
+        out: list[dict] = []
         for s in meta["snapshots"]:
             if from_seq < s["sequence-number"] <= to_seq and s["summary"][
                 "operation"
@@ -1215,12 +1364,12 @@ class IcebergTable:
                     if m["added_snapshot_id"] != s["snapshot-id"]:
                         continue  # carried-forward manifest, not new rows
                     with open(m["manifest_path"]) as f:
-                        paths += [
-                            e["data_file"]["file_path"]
+                        out += [
+                            e["data_file"]
                             for e in json.load(f)
                             if e["status"] == 1
                         ]
-        return paths
+        return out
 
     def schema_ddl(self) -> str:
         """Current schema as a Spark DDL string."""

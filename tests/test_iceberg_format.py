@@ -767,3 +767,102 @@ def test_mor_delete_rewrite_race_validations(spark):
     assert t2.scan(spark).where(F2.col("role") == "user").count() > 0
     t2.delete_where(spark, [("role", "=", "user")], mode="merge-on-read")
     assert t2.scan(spark).where(F2.col("role") == "user").count() == 0
+
+
+# -- field-id schema evolution: rename / drop --------------------------------
+
+
+def test_rename_column_preserves_values_across_writer_schemas(spark):
+    """Rename is a metadata-only commit (spec §Schema Evolution): files
+    written under the OLD name must keep serving their values through
+    the field-id-resolving scan — a name-based read would null them."""
+    loc = _fresh("rename_vals")
+    a = _turns(spark, 0)
+    t = IcebergTable.create(loc, a)
+    t.append(a)
+    t.rename_column("text", "body")
+    b = _turns(spark, 4).withColumnRenamed("text", "body")
+    t.append(b)
+    got = t.scan(spark)
+    assert "body" in got.columns and "text" not in got.columns
+    # pre-rename rows still carry their text under the new name
+    want = {
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in a.collect()
+    } | {(r["conv_id"], r["turn_idx"], r["body"]) for r in b.collect()}
+    assert {
+        (r["conv_id"], r["turn_idx"], r["body"]) for r in got.collect()
+    } == want
+    assert got.where(F.col("body").isNull()).count() == 0
+
+
+def test_drop_then_add_column_distinct_field_ids(spark):
+    """Dropping a column then adding one with the SAME name must not
+    resurrect the old values: the new field has a new id, so old files
+    read null for it (the dropped bytes stay invisible)."""
+    loc = _fresh("drop_add")
+    a = _turns(spark, 0)
+    t = IcebergTable.create(loc, a)
+    t.append(a)
+    t.drop_column("tool")
+    assert "tool" not in t.scan(spark).columns
+    t.add_column("tool", "string")
+    got = t.scan(spark)
+    assert "tool" in got.columns
+    assert got.where(F.col("tool").isNotNull()).count() == 0
+    assert _key_set(got) == _key_set(a)
+
+
+def test_mor_delete_predicate_on_renamed_column(spark):
+    """A merge-on-read DELETE whose predicate names the CURRENT (post-
+    rename) column must still hit rows in files written pre-rename —
+    the position-delete pass resolves columns by field id per writer
+    schema."""
+    loc = _fresh("rename_mor")
+    a = _turns(spark, 0)
+    t = IcebergTable.create(loc, a)
+    t.append(a)
+    victim = a.orderBy("conv_id", "turn_idx").collect()[0]
+    t.rename_column("text", "body")
+    t.delete_where(
+        spark, [("body", "=", victim["text"])], mode="merge-on-read"
+    )
+    got = t.scan(spark)
+    assert (victim["conv_id"], victim["turn_idx"]) not in _key_set(got)
+    assert got.count() == a.count() - 1
+
+
+def test_rename_refusals_and_drop_guards(spark):
+    loc = _fresh("rename_guards")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src, partition_by=[("role", "identity")])
+    t.append(src)
+    with pytest.raises(ValueError, match="partition source"):
+        t.rename_column("role", "speaker")
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_column("role")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("text", "tool")
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+    # rename/drop are commits: time travel still reads the old snapshot
+    t.rename_column("text", "body")
+    assert "body" in t.scan(spark).columns
+
+
+def test_datasource_read_after_rename(spark):
+    """The planner-integrated saber_iceberg source must apply the same
+    field-id rename resolution executor-side (Arrow reader)."""
+    loc = _fresh("rename_dsv2")
+    a = _turns(spark, 0)
+    t = IcebergTable.create(loc, a)
+    t.append(a)
+    t.rename_column("text", "body")
+    b = _turns(spark, 4).withColumnRenamed("text", "body")
+    t.append(b)
+    from saber_spark.sources.iceberg_datasource import register_iceberg_source
+
+    register_iceberg_source(spark)
+    got = spark.read.format("saber_iceberg").option("location", loc).load()
+    assert "body" in got.columns
+    assert got.where(F.col("body").isNull()).count() == 0
+    assert got.count() == a.count() + b.count()

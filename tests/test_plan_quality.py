@@ -20,17 +20,28 @@ def _plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _builder(name: str):
+    """Registry entry, or — for shapes consolidated out of the 50-entry
+    registry (r4 rotation) — the still-exported builder function."""
+    qs = entrymod.queries()
+    if name in qs:
+        return qs[name]
+    from saber_spark.plans import pipeline_queries as pq
+    from saber_spark.plans import saber_queries as sq
+    from saber_spark.plans import streaming_queries as st
+
+    for mod in (sq, pq, st):
+        if hasattr(mod, name):
+            return getattr(mod, name)
+    raise KeyError(name)
+
+
 def _plan(spark, name: str) -> str:
-    return _plan_of(entrymod.queries()[name](spark, SF_ORACLE))
+    return _plan_of(_builder(name)(spark, SF_ORACLE))
 
 
 def _unregistered(spark, name: str):
-    """Shapes consolidated out of the 50-entry registry keep their plan
-    assertions by building the DataFrame from the (still exported)
-    builder functions directly."""
-    from saber_spark.plans import saber_queries as sq
-
-    return getattr(sq, name)(spark, SF_ORACLE)
+    return _builder(name)(spark, SF_ORACLE)
 
 
 def test_q3_broadcasts_dimension(spark):
@@ -74,6 +85,7 @@ def test_hot_queries_have_no_python_row_udfs(spark):
         "dedup_minhash_lsh",
         "similarity_cosine_topk",
         "text_analysis",
+        "turn_latency_analytics",
         "multimodal_metadata",
     ):
         plan = _plan(spark, name)
@@ -139,6 +151,7 @@ def test_canonical_scale_queries_avoid_nested_loop(spark):
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash_pairs",
+        "dedup_embedding",
         "similarity_rp_lsh_pairs",
         "asof_join_latest_tool_turn",
         "sg3_outlier_count",
