@@ -77,11 +77,18 @@ class FilePartition(InputPartition):
     ``renames``: (file_column_name, current_column_name) pairs for
     columns this file wrote under a pre-rename name (field-id schema
     evolution) — the executor reads the file name and emits the current
-    one. Empty tuple when the writer schema matches the current names."""
+    one. Empty tuple when the writer schema matches the current names.
+
+    ``absent``: current-schema column names whose field id is NOT in
+    this file's writer schema — the executor must null-fill them even
+    if the file happens to carry a same-named column (a field dropped
+    then re-added under the same name has a NEW id; name-matching would
+    resurrect the dropped bytes)."""
 
     file_path: str
     delete_paths: tuple = ()
     renames: tuple = ()
+    absent: tuple = ()
 
 
 _OPS = {
@@ -102,20 +109,29 @@ def _arrow_schema(schema: "StructType"):
     )
 
 
-def _rename_pairs(table: "IcebergTable", meta: dict, schema_id: int) -> tuple:
-    """(file_name, current_name) pairs where a field's name changed
-    between the file's writer schema and the current schema (matched by
-    field id). Empty tuple when nothing was renamed — the common case."""
+def _resolution(
+    table: "IcebergTable", meta: dict, schema_id: int
+) -> tuple[tuple, tuple]:
+    """Field-id column resolution for one writer schema vs the current
+    one: (renames, absent). ``renames`` = (file_name, current_name)
+    pairs where the field's name changed; ``absent`` = current names
+    whose id the writer schema lacks (must null-fill, never name-match:
+    a drop-then-re-add reuses the name but NOT the id). Both empty in
+    the unevolved common case."""
     cur = table._schema_fields(meta)
     by_id = {f["id"]: f["name"] for f in table._schema_fields(meta, schema_id)}
-    return tuple(
+    renames = tuple(
         (by_id[f["id"]], f["name"])
         for f in cur
         if f["id"] in by_id and by_id[f["id"]] != f["name"]
     )
+    absent = tuple(f["name"] for f in cur if f["id"] not in by_id)
+    return renames, absent
 
 
-def _read_file_batches(path: str, arrow_schema, delete_paths=(), renames=()) -> Iterator:
+def _read_file_batches(
+    path: str, arrow_schema, delete_paths=(), renames=(), absent=()
+) -> Iterator:
     """Executor-side: stream one data file as Arrow batches cast to the
     table schema (column order + TIMESTAMP_NTZ -> session-UTC). Columns
     the file predates (schema evolution: add_column after this file was
@@ -140,7 +156,7 @@ def _read_file_batches(path: str, arrow_schema, delete_paths=(), renames=()) -> 
         columns=[
             to_file.get(n, n)
             for n in arrow_schema.names
-            if to_file.get(n, n) in present
+            if n not in absent and to_file.get(n, n) in present
         ],
     )
     if renames:
@@ -156,7 +172,10 @@ def _read_file_batches(path: str, arrow_schema, delete_paths=(), renames=()) -> 
             drop = mine.column("pos").to_numpy(zero_copy_only=False)
             keep = np.setdiff1d(np.arange(len(table), dtype="int64"), drop)
             table = table.take(keep)
-    present_current = {to_current.get(n, n) for n in present}
+    # ``absent`` fields are invisible by id even when the file carries a
+    # same-named column (drop-then-re-add) — they were not read above,
+    # so force the null-fill for them here
+    present_current = {to_current.get(n, n) for n in present} - set(absent)
     for field in arrow_schema:
         if field.name not in present_current:
             table = table.append_column(
@@ -215,15 +234,15 @@ class IcebergBatchReader(DataSourceReader):
         for d in dels:
             for ref in d.get("referenced_data_files", []):
                 by_target.setdefault(ref, []).append(d["file_path"])
-        ren_by_sid = {
-            sid: _rename_pairs(table, meta, sid)
+        res_by_sid = {
+            sid: _resolution(table, meta, sid)
             for sid in {int(d.get("schema-id", 0)) for d in files}
         }
         return [
             FilePartition(
                 d["file_path"],
                 tuple(sorted(by_target.get(d["file_path"], ()))),
-                ren_by_sid[int(d.get("schema-id", 0))],
+                *res_by_sid[int(d.get("schema-id", 0))],
             )
             for d in files
         ]
@@ -239,6 +258,7 @@ class IcebergBatchReader(DataSourceReader):
             self.arrow_schema,
             getattr(partition, "delete_paths", ()),
             getattr(partition, "renames", ()),
+            getattr(partition, "absent", ()),
         )
 
 
@@ -279,13 +299,13 @@ class IcebergStreamReader(DataSourceStreamReader):
         table = IcebergTable(self.location)
         files = table.appended_files(start["seq"], end["seq"])
         meta = table._read_metadata()
-        ren_by_sid = {
-            sid: _rename_pairs(table, meta, sid)
+        res_by_sid = {
+            sid: _resolution(table, meta, sid)
             for sid in {int(d.get("schema-id", 0)) for d in files}
         }
         return [
             FilePartition(
-                d["file_path"], (), ren_by_sid[int(d.get("schema-id", 0))]
+                d["file_path"], (), *res_by_sid[int(d.get("schema-id", 0))]
             )
             for d in files
         ]
@@ -300,6 +320,7 @@ class IcebergStreamReader(DataSourceStreamReader):
             partition.file_path,
             self.arrow_schema,
             renames=getattr(partition, "renames", ()),
+            absent=getattr(partition, "absent", ()),
         )
 
     def commit(self, end: dict) -> None:

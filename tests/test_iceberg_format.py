@@ -866,3 +866,24 @@ def test_datasource_read_after_rename(spark):
     assert "body" in got.columns
     assert got.where(F.col("body").isNull()).count() == 0
     assert got.count() == a.count() + b.count()
+
+
+def test_datasource_read_after_drop_then_readd(spark):
+    """Drop a column, add a new one with the SAME name: the new field id
+    is absent from old files' writer schemas, so the Arrow reader must
+    null-fill it there — a name-based read would resurrect the dropped
+    bytes (field-id resolution, spec §Schema Evolution)."""
+    loc = _fresh("drop_add_dsv2")
+    a = _turns(spark, 0)
+    t = IcebergTable.create(loc, a)
+    t.append(a)
+    t.drop_column("tool")
+    t.add_column("tool", "string")
+    from saber_spark.sources.iceberg_datasource import register_iceberg_source
+
+    register_iceberg_source(spark)
+    got = spark.read.format("saber_iceberg").option("location", loc).load()
+    assert "tool" in got.columns
+    # every pre-evolution row reads null for the re-added field
+    assert got.where(F.col("tool").isNotNull()).count() == 0
+    assert got.count() == a.count()
