@@ -93,6 +93,50 @@ def jaccard_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: flag every corpus document sharing at
+    least one n-word shingle with a benchmark/eval document — the
+    cross-corpus contamination gate of a training-data pipeline (the
+    within-corpus dedups above remove self-duplicates; this removes
+    leakage of held-out evaluation text). Published precedent: the
+    n-gram-overlap scrubbing of GPT-3 appendix C / PaLM appendix.
+
+    Returns the corpus with a ``contaminated`` boolean appended; callers
+    drop flagged rows (kept as a flag so the registry row value-checks
+    BOTH partitions of the corpus, not just the survivors).
+
+    Scale shape: eval sets are tiny next to a 100-TB corpus, so the
+    benchmark's distinct-shingle set is broadcast (hash-join, corpus
+    never shuffled for the probe); the contaminated-id set is one
+    semi-join + distinct, and the flag join-back is id-equi. Set
+    ``broadcast_benchmark=False`` for a pathological benchmark too big
+    to broadcast — the probe degrades to a shuffled shingle equi-join,
+    still never all-pairs.
+    """
+    bench = benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("_s")
+    ).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    posts = _shingle_posts(corpus, id_col, text_col, n)
+    hit_ids = (
+        posts.join(bench, "_s", "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return corpus.join(hit_ids, id_col, "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+
 def minhash_signatures_wide(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, k: int = 16,

@@ -93,9 +93,9 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8
 """
 
 
-@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (3-word-shingle Jaccard >= 0.8, inverted index)."""
+    """Near-dup pairs (3-word-shingle Jaccard >= 0.8, inverted index).
+    (Driver-checked through dedup_jaccard_strategies since r4.)"""
     return dd.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
@@ -113,11 +113,61 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
 """
 
 
-@register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(Driver-checked through dedup_jaccard_strategies since r4.)"""
     return dd.minhash_lsh_pairs(
         _docs(spark, sf_dir), k=16, threshold=0.5, rows_per_band=1
     )
+
+
+# Both Jaccard-near-dup strategies in ONE driver row (r4 rotation, same
+# discipline as cm1_pane_strategies): the exact inverted-index path at
+# threshold 0.8 and the MinHash-LSH banded-candidates path at 0.5 share
+# the all-pairs-Jaccard CTE, tagged and unioned so one value-hash checks
+# both the exact scorer and the banding+verification pipeline. The freed
+# slot funds decontaminate_benchmark below.
+_JACCARD_STRATEGIES_ORACLE = f"""
+WITH {_W}, {_SHINGLES}, {_POSTS}, {_JACCARD_PAIRS}
+SELECT 'inverted_exact' AS strategy, id_a, id_b, jaccard
+FROM jac WHERE jaccard >= 0.8
+UNION ALL
+SELECT 'minhash_lsh' AS strategy, id_a, id_b, jaccard
+FROM jac WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_jaccard_strategies", _JACCARD_STRATEGIES_ORACLE)
+def dedup_jaccard_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("inverted_exact").alias("strategy"), "*")
+    mh = dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash_lsh").alias("strategy"), "*")
+    return ex.unionByName(mh)
+
+
+# Test-set decontamination (cross-corpus contamination removal): docs
+# whose id is ≡ 0 (mod 37) play the held-out benchmark; every OTHER doc
+# is flagged when it shares any 3-word shingle with the benchmark set.
+# The oracle replays the same shingle construction and overlap semi-join
+# in SQL, and the row value-checks the flag over the whole non-benchmark
+# corpus (both partitions, not just survivors).
+_DECONTAM_ORACLE = f"""
+WITH {_W}, {_SHINGLES},
+bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 37 = 0),
+corp AS (SELECT doc_id FROM sh WHERE doc_id % 37 <> 0),
+posts AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 37 <> 0),
+bad AS (SELECT DISTINCT p.doc_id FROM posts p JOIN bench USING (s))
+SELECT c.doc_id, (b.doc_id IS NOT NULL) AS contaminated
+FROM corp c LEFT JOIN bad b ON c.doc_id = b.doc_id
+"""
+
+
+@register("decontaminate_benchmark", _DECONTAM_ORACLE)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return dd.decontaminate(corpus, bench).select("doc_id", "contaminated")
 
 
 def _simhash_sql_cte() -> str:

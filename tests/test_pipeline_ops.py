@@ -422,3 +422,40 @@ def test_redact_pii_scrubs_and_preserves(spark):
     red = df.select(redact_pii("text").alias("text"))
     again = {r.t for r in red.select(redact_pii("text").alias("t")).collect()}
     assert again == {r.text for r in red.collect()}
+
+
+def test_decontaminate_flags_shingle_overlap(spark):
+    """A corpus doc is contaminated iff it shares a 3-word shingle with
+    the benchmark set; short docs (<3 words) match on the whole text."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "hi")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a quick brown fox sleeps"),      # shares "quick brown fox"
+            (2, "totally unrelated text here"),   # clean
+            (3, "hi"),                            # whole-text shingle match
+            (4, "hi there friend"),               # "hi there friend" != "hi"
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.contaminated
+        for r in dd.decontaminate(corpus, bench).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_decontaminate_broadcasts_benchmark_probe(spark, docs):
+    """The benchmark shingle probe must be a broadcast hash join — the
+    100-TB corpus is never shuffled to meet a tiny eval set."""
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    plan = (
+        dd.decontaminate(corpus, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
