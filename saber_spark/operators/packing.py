@@ -1,0 +1,147 @@
+"""Sequence packing: assemble variable-length documents into
+fixed-token-budget training sequences.
+
+The reference engine has no packing operator — this extends the
+training-data-pipeline surface the task brief asks for (the step after
+curation: packed sequences are what actually feeds a trainer). The
+design constraint at 100 TB is that strict sequential bin-packing is
+order-dependent state, so the corpus is first hash-sharded with the
+portable ``md5_bucket`` primitive (same row → same shard in any engine,
+at any parallelism) and packing runs independently per shard. ``n_shards``
+is the parallelism/state knob: at cluster scale you pick it so one
+shard's (id, n_tokens) pairs fit an executor (the *text* never moves —
+packing assigns ids to sequences; the gather join happens afterwards,
+shuffling each doc once to its sequence).
+
+Two strategies, same output contract:
+
+- ``overflow`` — the closed-form scale path, pure Catalyst. Docs are
+  ordered by id within their shard and binned by running token offset:
+  ``seq_idx = floor(cum_tokens_before / budget)``. A document whose
+  span crosses a budget boundary stays in the bin where it starts, so
+  a sequence can overflow by at most one document (the trainer
+  truncates or the gather splits the straddler). In exchange the whole
+  assignment is one shuffle-by-shard + sort-within + window cumsum —
+  no sequential Python state, AQE-splittable, map-side prunable.
+
+- ``greedy`` — strict first-fit-sequential: a document never straddles
+  a boundary; one that would overflow opens the next sequence, and a
+  document longer than the budget sits alone in its own sequence.
+  Inherently a left-to-right scan, so it runs as one vectorless pass
+  per shard under ``applyInPandas`` (Arrow-batched; state is two ints).
+  The semantic oracle / highest-fill path; shard size bounds memory.
+
+Both return one row per document: ``(shard, <id>, n_tokens, seq_idx,
+off_tokens)`` where ``off_tokens`` is the doc's starting offset inside
+its sequence — enough for a downstream gather to materialize sequences
+deterministically.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from saber_spark.operators.textops import md5_bucket
+
+STRATEGIES = ("overflow", "greedy")
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_shards: int = 8,
+    strategy: str = "overflow",
+) -> DataFrame:
+    """Assign each document to a (shard, seq_idx) training sequence of at
+    most ``token_budget`` tokens (see module docstring for the two
+    strategies' boundary semantics). ``df`` needs ``id_col`` (unique,
+    orderable) and ``tokens_col`` (non-negative int); ordering within a
+    shard is by ``id_col``, so the packing is deterministic and
+    reproducible across engines and parallelism levels.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if strategy not in STRATEGIES:
+        raise ValueError(f"strategy must be one of {STRATEGIES}, got {strategy!r}")
+
+    base = df.select(
+        md5_bucket(F.col(id_col), n_shards).cast("int").alias("shard"),
+        F.col(id_col),
+        F.col(tokens_col).cast("int").alias("n_tokens"),
+    )
+
+    if strategy == "overflow":
+        w = (
+            Window.partitionBy("shard")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        return base.select(
+            "shard",
+            id_col,
+            "n_tokens",
+            F.floor(cum_before / token_budget).cast("int").alias("seq_idx"),
+            (cum_before % token_budget).cast("int").alias("off_tokens"),
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType()),
+            T.StructField(id_col, base.schema[id_col].dataType),
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("seq_idx", T.IntegerType()),
+            T.StructField("off_tokens", T.IntegerType()),
+        ]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        toks = pdf["n_tokens"].to_list()
+        seq = [0] * len(toks)
+        off = [0] * len(toks)
+        cur_seq = 0
+        cur_off = 0  # tokens already occupied in the current sequence
+        for j, t in enumerate(toks):
+            # exact twin of the oracle's recursive-CTE step: for every doc
+            # after the shard's first, open a new sequence iff appending
+            # would exceed the budget (== budget still fits)
+            if j > 0 and cur_off + t > token_budget:
+                cur_seq += 1
+                cur_off = 0
+            seq[j] = cur_seq
+            off[j] = cur_off
+            cur_off += t
+        pdf["seq_idx"] = pd.array(seq, dtype="int32")
+        pdf["off_tokens"] = pd.array(off, dtype="int32")
+        return pdf[["shard", id_col, "n_tokens", "seq_idx", "off_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(_pack, out_schema)
+
+
+def sequence_stats(packed: DataFrame, token_budget: int) -> DataFrame:
+    """Per-strategy packing quality: sequence count, mean fill fraction,
+    and the overflow tally (sequences whose token total exceeds the
+    budget — possible only under ``overflow``, by at most one doc).
+    Aggregates the assignment frame; one groupBy per level, no text."""
+    group = [c for c in ("strategy",) if c in packed.columns]
+    per_seq = packed.groupBy(*group, "shard", "seq_idx").agg(
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_seq.groupBy(*group).agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(F.avg(F.least(F.col("seq_tokens"), F.lit(token_budget)) / token_budget), 4).alias(
+            "mean_fill"
+        ),
+        F.sum((F.col("seq_tokens") > token_budget).cast("int")).alias("n_overflow"),
+        F.max("seq_tokens").alias("max_seq_tokens"),
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from saber_spark.operators import dedup as dd
 from saber_spark.operators import multimodal as mm
+from saber_spark.operators import packing as pk
 from saber_spark.operators import similarity as sim
 from saber_spark.operators import textops as tx
 from saber_spark.plans.registry import register
@@ -501,8 +502,9 @@ FROM reach GROUP BY node
 # fraction, distinct-word ratio, top-bigram fraction, and the keep gate —
 # the loop-detector of a curation pipeline. The keep decision is computed
 # from the ROUNDED fractions on both engines, so the boolean is portable.
-_REPETITION_ORACLE = f"""
-WITH {_W},
+# CTE fragment (expects _W in scope); driver-checked as columns of the
+# consolidated text_analysis entry.
+_REP_CTES = f"""
 tok AS (SELECT doc_id, unnest(words) AS t FROM w),
 wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
 wagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
@@ -522,18 +524,15 @@ prof AS (
            round(n_distinct / n_words, 6)   AS distinct_word_ratio,
            round(coalesce(top_bigram_n / n_bigrams, 0), 6) AS top_bigram_frac
     FROM wagg LEFT JOIN bagg USING (doc_id)
+),
+rep AS (
+    SELECT doc_id, n_words, top_word_frac, distinct_word_ratio, top_bigram_frac,
+           (top_word_frac <= {tx.TOP_WORD_FRAC_MAX}
+            AND distinct_word_ratio >= {tx.DISTINCT_WORD_RATIO_MIN}
+            AND top_bigram_frac <= {tx.TOP_BIGRAM_FRAC_MAX}) AS rep_keep
+    FROM prof
 )
-SELECT doc_id, n_words, top_word_frac, distinct_word_ratio, top_bigram_frac,
-       (top_word_frac <= {tx.TOP_WORD_FRAC_MAX}
-        AND distinct_word_ratio >= {tx.DISTINCT_WORD_RATIO_MIN}
-        AND top_bigram_frac <= {tx.TOP_BIGRAM_FRAC_MAX}) AS keep
-FROM prof
 """
-
-
-@register("text_repetition", _REPETITION_ORACLE)
-def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.repetition_profile(_docs(spark, sf_dir))
 
 
 @register("dedup_embedding", _EMB_DEDUP_ORACLE)
@@ -599,13 +598,16 @@ qual AS (
 """
 
 # One driver-checked entry covers the whole text-analysis surface —
-# language-ID, quality score, both token counts, and the winnowing
-# fingerprint — as columns of a single pass over the documents table
-# (that is also how a production pipeline runs them: one scan, one
-# projection; each expression still has its exact SQL twin here).
+# language-ID, quality score, both token counts, the winnowing
+# fingerprint (all pure scan-stage column expressions), plus the
+# Gopher-style repetition profile (explode→partial-agg shape, joined
+# back on doc_id) — one pass over the corpus producing the per-doc
+# profile frame a curation pipeline gates on; each expression still has
+# its exact SQL twin here.
 _TEXT_ORACLE = f"""
 WITH {_W}, {_lang_sql()},
 {_QUAL_CTES},
+{_REP_CTES},
 tk AS (
     SELECT w.doc_id AS doc_id,
            CAST(len(words) AS INTEGER) AS ws_tokens,
@@ -623,23 +625,30 @@ fp AS (
     FROM w
 )
 SELECT p.doc_id AS doc_id, p.predicted_lang, q.quality,
-       t.ws_tokens, t.bpe_tokens, f.fingerprint
+       t.ws_tokens, t.bpe_tokens, f.fingerprint,
+       r.n_words, r.top_word_frac, r.distinct_word_ratio,
+       r.top_bigram_frac, r.rep_keep
 FROM pred p
 JOIN qual q USING (doc_id)
 JOIN tk t USING (doc_id)
 JOIN fp f USING (doc_id)
+JOIN rep r USING (doc_id)
 """
 
 
 @register("text_analysis", _TEXT_ORACLE)
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full text-analysis surface in one documents scan: language-ID
-    (marker n-gram heuristic), quality score (length/punct/stopword
-    bands), whitespace + BPE-ish token counts, and the winnowing-style
-    rolling-hash fingerprint (min md5 of char 8-grams) — all pure
-    Catalyst column expressions that codegen into the scan stage
+    """The full text-analysis surface as one per-doc profile frame:
+    language-ID (marker n-gram heuristic), quality score
+    (length/punct/stopword bands), whitespace + BPE-ish token counts,
+    and the winnowing-style rolling-hash fingerprint (min md5 of char
+    8-grams) — all pure Catalyst column expressions that codegen into
+    the scan stage — joined with the Gopher-style repetition profile
+    (top-word/top-bigram fractions, distinct-word ratio, keep gate;
+    explode→partial-aggregate shape) on the doc id
     (operators/textops.py)."""
-    return _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir)
+    scan_cols = docs.select(
         "doc_id",
         tx.predicted_lang("text").alias("predicted_lang"),
         tx.quality_score("text").alias("quality"),
@@ -647,6 +656,88 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.bpe_ish_token_count("text").alias("bpe_tokens"),
         tx.fingerprint("text").alias("fingerprint"),
     )
+    rep = tx.repetition_profile(docs).withColumnRenamed("keep", "rep_keep")
+    return scan_cols.join(rep, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (operators/packing.py): documents → fixed-token-budget
+# training sequences, hash-sharded for parallelism. Both strategies in one
+# strategy-tagged entry: the closed-form window "overflow" packing (pure
+# Catalyst twin = window cumsum) and strict first-fit "greedy" packing
+# (applyInPandas twin = per-shard recursive CTE stepping one doc per
+# iteration — exact sequential semantics, value-checked).
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE {_W},
+keyed AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           CAST(len(words) AS INT) AS n_tokens
+    FROM w
+),
+sharded AS (
+    SELECT CAST(({{BUCKET}}) % {_PACK_SHARDS} AS INT) AS shard, doc_id, n_tokens
+    FROM keyed
+),
+docs AS (
+    SELECT shard, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+    FROM sharded
+),
+ovf AS (
+    SELECT shard, doc_id, n_tokens,
+           CAST(floor(cb / {_PACK_BUDGET}) AS INT) AS seq_idx,
+           CAST(cb % {_PACK_BUDGET} AS INT) AS off_tokens
+    FROM (SELECT shard, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS cb
+          FROM docs)
+),
+greedy AS (
+    SELECT shard, doc_id, n_tokens, rn,
+           0 AS seq_idx, 0 AS off_tokens
+    FROM docs WHERE rn = 1
+    UNION ALL
+    SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+           CASE WHEN g.off_tokens + g.n_tokens + d.n_tokens > {_PACK_BUDGET}
+                THEN g.seq_idx + 1 ELSE g.seq_idx END,
+           CASE WHEN g.off_tokens + g.n_tokens + d.n_tokens > {_PACK_BUDGET}
+                THEN 0 ELSE g.off_tokens + g.n_tokens END
+    FROM docs d JOIN greedy g ON d.shard = g.shard AND d.rn = g.rn + 1
+)
+SELECT 'overflow' AS strategy, shard, doc_id, n_tokens, seq_idx, off_tokens
+FROM ovf
+UNION ALL
+SELECT 'greedy' AS strategy, shard, doc_id, n_tokens, seq_idx, off_tokens
+FROM greedy
+""".replace("{BUCKET}", _BUCKET_SQL)
+
+
+@register("pack_sequences_strategies", _PACK_ORACLE)
+def pack_sequences_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-data assembly, both strategies
+    union-tagged: 'overflow' bins by running token offset (pure window
+    cumsum — the closed-form 100-TB path, a bin overflows by at most
+    one straddling doc) and 'greedy' is strict first-fit-sequential
+    (never straddles; per-shard applyInPandas scan, oracled by a
+    recursive CTE). Shards come from the portable md5 bucket, so the
+    packing is identical in any engine at any parallelism
+    (operators/packing.py)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tx.token_count("text").alias("n_tokens")
+    )
+    out = None
+    for strat in pk.STRATEGIES:
+        packed = pk.pack_sequences(
+            docs, _PACK_BUDGET, n_shards=_PACK_SHARDS, strategy=strat
+        ).withColumn("strategy", F.lit(strat))
+        out = packed if out is None else out.unionByName(packed)
+    return out.select("strategy", "shard", "doc_id", "n_tokens", "seq_idx", "off_tokens")
 
 
 # --------------------------------------------------------------------------
