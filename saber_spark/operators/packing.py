@@ -126,6 +126,36 @@ def pack_sequences(
     return base.groupBy("shard").applyInPandas(_pack, out_schema)
 
 
+def materialize_sequences(
+    docs: DataFrame,
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """The gather step after assignment: join text back onto the packed
+    ids and concatenate each (shard, seq_idx) group in offset order into
+    one training-sequence string. Each doc's text moves exactly once
+    (shuffle by id for the join, then by (shard, seq_idx) for the
+    group); per-group state is bounded by the token budget, so
+    collect_list cannot blow an executor the way an unbounded groupBy
+    concat would. Whitespace join keeps the invariant
+    ``token_count(seq_text) == sum(per-doc token counts)``.
+    """
+    joined = packed.join(docs.select(id_col, text_col), id_col)
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col("off_tokens"), F.col(text_col).alias("t")))
+    )
+    return (
+        joined.groupBy("shard", "seq_idx")
+        .agg(
+            F.concat_ws(sep, F.transform(parts, lambda s: s["t"])).alias("seq_text"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
 def sequence_stats(packed: DataFrame, token_budget: int) -> DataFrame:
     """Per-strategy packing quality: sequence count, mean fill fraction,
     and the overflow tally (sequences whose token total exceeds the

@@ -149,6 +149,17 @@ def test_sequence_stats(docs):
     assert stats["n_overflow"] == 0 or stats["max_seq_tokens"] > BUDGET
 
 
+def test_materialize_sequences(spark, docs):
+    full = load_table(spark, "/root/testdata/sf0.001", "documents")
+    packed = pk.pack_sequences(docs, BUDGET, n_shards=SHARDS, strategy="greedy")
+    seqs = pk.materialize_sequences(full, packed).cache()
+    assert seqs.count() == packed.select("shard", "seq_idx").distinct().count()
+    assert seqs.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    # whitespace-joined gather preserves the token accounting exactly
+    bad = seqs.where(tx.token_count("seq_text") != F.col("seq_tokens"))
+    assert bad.count() == 0
+
+
 def test_validation():
     import pandas as pd  # noqa: F401 — ensures arrow path importable
 
