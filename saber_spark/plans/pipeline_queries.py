@@ -830,3 +830,91 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from saber_spark.operators.curation import curate_corpus
 
     return curate_corpus(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Keyword retrieval: BM25 top-k + exact heavy-hitter terms (one entry,
+# strategy-tagged — operators/retrieval.py)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "window", "stream"]
+_BM25_K = 25
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), tokd AS (
+  SELECT doc_id, w, len(w)::double AS dl,
+         {', '.join(f"len(list_filter(w, x -> x = '{t}'))::double AS tf_{t}" for t in _BM25_TERMS)}
+  FROM d
+), stats AS (
+  SELECT count(*)::double AS n_docs, avg(len(w))::double AS avgdl,
+         {', '.join(f"sum(CASE WHEN list_contains(w, '{t}') THEN 1 ELSE 0 END)::double AS df_{t}" for t in _BM25_TERMS)}
+  FROM d
+), scored AS (
+  SELECT doc_id,
+         {' + '.join(
+            f"(ln(1 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+            f" * tf_{t} * {_BM25_K1 + 1.0}"
+            f" / (tf_{t} + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / avgdl)))"
+            for t in _BM25_TERMS)} AS score
+  FROM tokd CROSS JOIN stats
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT {_BM25_K}
+"""
+
+_HEAVY_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(list_distinct(
+    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+  )) AS term
+  FROM documents
+), counted AS (
+  SELECT term, count(*)::bigint AS doc_freq
+  FROM terms WHERE term <> '' GROUP BY term
+), total AS (SELECT count(*)::double AS n_docs FROM documents)
+SELECT term, doc_freq, doc_freq / n_docs AS doc_frac
+FROM counted CROSS JOIN total
+WHERE doc_freq / n_docs >= 0.5
+ORDER BY doc_freq DESC, term ASC LIMIT 50
+"""
+
+_RETRIEVAL_ORACLE = f"""
+SELECT 'bm25' AS strategy, CAST(doc_id AS VARCHAR) AS key,
+       score, CAST(NULL AS BIGINT) AS doc_freq
+FROM ({_BM25_SQL})
+UNION ALL
+SELECT 'heavy_terms' AS strategy, term AS key,
+       doc_frac AS score, doc_freq
+FROM ({_HEAVY_SQL})
+"""
+
+
+@register("retrieval_bm25_terms", _RETRIEVAL_ORACLE)
+def retrieval_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-retrieval surface in one entry: Okapi BM25 top-25 for a
+    3-term query (corpus never shuffles — per-term tf is a Catalyst
+    array expression, corpus stats are ONE broadcast single-row agg,
+    top-k is TakeOrderedAndProject) union-tagged with the exact
+    heavy-hitter vocabulary mine (per-doc DISTINCT terms, map-side
+    combined hash agg). operators/retrieval.py."""
+    from saber_spark.operators import retrieval as rt
+
+    docs = _docs(spark, sf_dir)
+    bm25 = rt.bm25_topk(docs, _BM25_TERMS, k=_BM25_K).select(
+        F.lit("bm25").alias("strategy"),
+        F.col("doc_id").cast("string").alias("key"),
+        "score",
+        F.lit(None).cast("long").alias("doc_freq"),
+    )
+    heavy = rt.heavy_hitter_terms(docs, min_doc_frac=0.5, top_n=50).select(
+        F.lit("heavy_terms").alias("strategy"),
+        F.col("term").alias("key"),
+        F.col("doc_frac").alias("score"),
+        "doc_freq",
+    )
+    return bm25.unionByName(heavy)

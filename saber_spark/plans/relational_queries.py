@@ -170,32 +170,65 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
-_SEMI_ANTI_ORACLE = """
-SELECT 'semi' AS mode, c_custkey, c_name AS detail
+_JOIN_MODES_ORACLE = """
+SELECT 'semi' AS mode, CAST(c_custkey AS VARCHAR) AS key,
+       CAST(NULL AS BIGINT) AS n_customers, CAST(NULL AS DOUBLE) AS total_acctbal,
+       c_name AS detail
 FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
 UNION ALL
-SELECT 'anti' AS mode, c_custkey, c_mktsegment AS detail
+SELECT 'anti' AS mode, CAST(c_custkey AS VARCHAR) AS key,
+       CAST(NULL AS BIGINT) AS n_customers, CAST(NULL AS DOUBLE) AS total_acctbal,
+       c_mktsegment AS detail
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+UNION ALL
+SELECT 'outer' AS mode, n.n_name AS key,
+       count(c.c_custkey) AS n_customers,
+       CAST(coalesce(sum(CAST(c.c_acctbal AS DECIMAL(28,6))), 0) AS DOUBLE) AS total_acctbal,
+       CAST(NULL AS VARCHAR) AS detail
+FROM nation n
+LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
 """
 
 
-@register("semi_anti_join_customers", _SEMI_ANTI_ORACLE)
-def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi + anti join in one driver entry (50-entry consolidation):
-    left_semi (customers WITH a >300k order) and left_anti (customers
-    WITHOUT a >250k order) union-tagged by ``mode``, each keeping its own
-    value-checked rows. The standalone builders stay exported."""
+@register("join_modes_strategies", _JOIN_MODES_ORACLE)
+def join_modes_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti + left-outer join in one driver entry (50-entry
+    consolidation, absorbing round 3's `semi_anti_join_customers` and
+    `outer_join_customers_per_nation`): left_semi (customers WITH a
+    >300k order), left_anti (customers WITHOUT a >250k order), and the
+    null-handling left-outer per-nation rollup, union-tagged by
+    ``mode`` with each keeping its own value-checked rows. The
+    standalone builders stay exported."""
+    null_n = F.lit(None).cast("long")
+    null_v = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
     semi = semi_join_big_spenders(spark, sf_dir).select(
-        F.lit("semi").alias("mode"), "c_custkey", F.col("c_name").alias("detail")
+        F.lit("semi").alias("mode"),
+        F.col("c_custkey").cast("string").alias("key"),
+        null_n.alias("n_customers"),
+        null_v.alias("total_acctbal"),
+        F.col("c_name").alias("detail"),
     )
     anti = anti_join_customers_without_orders(spark, sf_dir).select(
-        F.lit("anti").alias("mode"), "c_custkey", F.col("c_mktsegment").alias("detail")
+        F.lit("anti").alias("mode"),
+        F.col("c_custkey").cast("string").alias("key"),
+        null_n.alias("n_customers"),
+        null_v.alias("total_acctbal"),
+        F.col("c_mktsegment").alias("detail"),
     )
-    return semi.unionByName(anti)
+    outer = outer_join_customers_per_nation(spark, sf_dir).select(
+        F.lit("outer").alias("mode"),
+        F.col("nation").alias("key"),
+        "n_customers",
+        "total_acctbal",
+        null_s.alias("detail"),
+    )
+    return semi.unionByName(anti).unionByName(outer)
 
 
 # --------------------------------------------------------------------------
@@ -212,8 +245,9 @@ GROUP BY n.n_name
 """
 
 
-@register("outer_join_customers_per_nation", _OUTER_ORACLE)
 def outer_join_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer + null-coalescing rollup; driver-checked through
+    `join_modes_strategies` (oracle twin kept above as _OUTER_ORACLE)."""
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     return (
