@@ -284,12 +284,11 @@ WHERE ({BUCKET}) % 1000 < CASE role WHEN 'assistant' THEN 500
 """.replace("{BUCKET}", _BUCKET_SQL)
 
 
-@register("sample_stratified", _SAMPLE_ORACLE)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Role-stratified deterministic sampling over the transcript stream
     (assistant 50%, user 25%, tool turns 10%) via the portable md5
     bucket — the reproducible data-mix primitive for training-set
-    construction."""
+    construction. Driver-checked through `sampling_strategies`."""
     from saber_spark.plans.saber_queries import transcripts as _tx
 
     t = _tx(spark, sf_dir)
@@ -303,6 +302,120 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "conv_id", "turn_idx", "role", bucket.alias("bucket")
     ).where(F.col("bucket") < rate)
+
+
+# --------------------------------------------------------------------------
+# Sampling strategies: role-stratified turn sampling + temperature-scaled
+# source mixture weights + deterministic temperature sampling of the
+# documents corpus (one entry, strategy-tagged — operators/mixing.py)
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 0.8  # of the max feasible total with no source upsampled
+
+_MIX_WEIGHTS_SQL = """
+WITH m AS (
+  SELECT source, count(*)::BIGINT AS n_docs, CAST(sum(n_chars) AS DOUBLE) AS mass
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, mass,
+       sqrt(mass) / (SELECT sum(sqrt(mass)) FROM m) AS weight
+FROM m
+"""
+
+_TEMP_SAMPLE_SQL = f"""
+WITH m AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass
+  FROM documents GROUP BY source
+), thr AS (
+  SELECT source,
+         CAST(round({_MIX_BUDGET} * sqrt((SELECT min(mass) FROM m) / mass) * 1000)
+              AS BIGINT) AS thr
+  FROM m
+), b AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+)
+SELECT b.doc_id, b.source, ({{BUCKET}}) % 1000 AS bucket
+FROM b JOIN thr ON b.source = thr.source
+WHERE ({{BUCKET}}) % 1000 < thr.thr
+""".replace("{BUCKET}", _BUCKET_SQL)
+
+_SAMPLING_STRATEGIES_ORACLE = f"""
+SELECT 'stratified' AS strategy,
+       conv_id || ':' || CAST(turn_idx AS VARCHAR) AS key, role AS grp,
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS DOUBLE) AS mass,
+       CAST(NULL AS DOUBLE) AS weight, CAST(bucket AS BIGINT) AS bucket
+FROM ({_SAMPLE_ORACLE})
+UNION ALL
+SELECT 'mix_weights' AS strategy, source AS key, CAST(NULL AS VARCHAR) AS grp,
+       n_docs, mass, weight, CAST(NULL AS BIGINT) AS bucket
+FROM ({_MIX_WEIGHTS_SQL})
+UNION ALL
+SELECT 'temp_sample' AS strategy, CAST(doc_id AS VARCHAR) AS key, source AS grp,
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS DOUBLE) AS mass,
+       CAST(NULL AS DOUBLE) AS weight, CAST(bucket AS BIGINT) AS bucket
+FROM ({_TEMP_SAMPLE_SQL})
+"""
+
+
+@register("sampling_strategies", _SAMPLING_STRATEGIES_ORACLE)
+def sampling_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling surface in one entry (absorbing round 3's
+    `sample_stratified`): role-stratified deterministic turn sampling,
+    temperature-scaled source mixture weights over the documents corpus
+    (mass = chars, alpha=0.5 — sqrt, IEEE-exact in both engines), and
+    the deterministic temperature sample those weights imply at
+    budget_frac=0.8 — all md5-bucket reproducible, union-tagged by
+    ``strategy``. operators/mixing.py, operators/textops.py::md5_bucket."""
+    from saber_spark.operators import mixing as mx
+
+    null_n = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+
+    strat = sample_stratified(spark, sf_dir).select(
+        F.lit("stratified").alias("strategy"),
+        F.concat(
+            F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+        ).alias("key"),
+        F.col("role").alias("grp"),
+        null_n.alias("n_docs"),
+        null_d.alias("mass"),
+        null_d.alias("weight"),
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+
+    docs = _docs(spark, sf_dir)
+    weights = mx.source_mixture_weights(
+        docs, source_col="source", size_col="n_chars", alpha=0.5
+    ).select(
+        F.lit("mix_weights").alias("strategy"),
+        F.col("source").alias("key"),
+        null_s.alias("grp"),
+        "n_docs",
+        "mass",
+        "weight",
+        null_n.alias("bucket"),
+    )
+
+    sampled = mx.temperature_sample(
+        docs,
+        source_col="source",
+        size_col="n_chars",
+        id_col="doc_id",
+        alpha=0.5,
+        budget_frac=_MIX_BUDGET,
+        n_buckets=1000,
+    ).select(
+        F.lit("temp_sample").alias("strategy"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("source").alias("grp"),
+        null_n.alias("n_docs"),
+        null_d.alias("mass"),
+        null_d.alias("weight"),
+        F.col("bucket").cast("long").alias("bucket"),
+    )
+
+    return strat.unionByName(weights).unionByName(sampled)
 
 
 # --------------------------------------------------------------------------
