@@ -186,3 +186,26 @@ def test_ivf_broadcasts_codebook_and_hash_joins_cells(spark):
     assert "CartesianProduct" not in plan
     # candidate join keyed on cell_id: an equi-join operator must appear
     assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+
+
+def test_temperature_sample_broadcasts_rates_and_never_shuffles_corpus(spark):
+    """temperature_sample's rate join-back must broadcast the tiny
+    per-source threshold frame: a sort-merge join there would shuffle
+    the whole corpus on a 20-value key (skew disaster at 100 TB). The
+    only hash exchanges allowed are the per-source mass aggregates
+    (partial-combined to |sources| rows before the wire)."""
+    from saber_spark.operators import mixing as mx
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    kept = mx.temperature_sample(
+        docs, source_col="source", size_col="n_chars", id_col="doc_id",
+        alpha=0.5, budget_frac=0.8, n_buckets=1000,
+    )
+    plan = _plan_of(kept)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # every hash exchange must sit above a partial aggregate, never
+    # above the raw corpus scan
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "partial" in frag.split("Exchange")[0] or "HashAggregate" in frag.split("Exchange")[0]
