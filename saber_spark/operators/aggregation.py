@@ -57,7 +57,7 @@ class AggSpec:
 
 def session_aggregate(
     df: DataFrame,
-    gap_s: int,
+    gap_s: int | Column,
     aggs: Sequence[AggSpec],
     keys: Sequence[str] = ("conv_id",),
     ts_col: str = "ts",
@@ -68,10 +68,17 @@ def session_aggregate(
     when the next event's ts >= previous session end. Emits session_start
     / session_end as epoch seconds plus the aggregates.
 
+    ``gap_s`` may be a per-event interval Column (dynamic session gap —
+    e.g. shorter timeouts for tool turns): each event's window is
+    [ts, ts+gap(event)) and overlapping windows merge, so session_end is
+    the max of ts+gap over the merged events. Events with a non-positive
+    gap are dropped by Spark's session operator.
+
     Batch form here; the same expression works under ``readStream`` with
     a watermark (state-store session merge) — see streaming/jobs.py.
     """
-    win = F.session_window(F.col(ts_col), f"{gap_s} seconds")
+    gap = gap_s if isinstance(gap_s, Column) else f"{gap_s} seconds"
+    win = F.session_window(F.col(ts_col), gap)
     out = df.groupBy(win.alias("session"), *[F.col(k) for k in keys]).agg(
         *[a.to_column() for a in aggs]
     )

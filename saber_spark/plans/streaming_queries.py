@@ -482,7 +482,15 @@ def session_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feeds both legs — the batch leg is every session, the streamed leg the
 # subset the final watermark closed (append-mode emit set). The tagged
 # union value-checks native session_window against the state-store
-# session path row-for-row.
+# session path row-for-row. A third 'dynamic_gap' leg exercises Spark's
+# per-event session gap (tool turns time out after 120 s, human/model
+# turns after 1200 s): each event's window is [ts, ts+gap(event)) and
+# overlapping windows merge, so the oracle's islands flag compares each
+# ts against the running MAX of ts+gap over all preceding events (a lag
+# of just the previous row is wrong — a long-gap event can bridge past a
+# short-gap one).
+_SESSION_DYN_GAP_TOOL = 120
+_SESSION_DYN_GAP_OTHER = 1200
 _SESSION_STRATEGIES_ORACLE = with_transcripts_oracle(f"""
 , marked AS (
     SELECT conv_id, turn_idx, ts, length(text) AS text_len,
@@ -506,6 +514,32 @@ grouped AS (
            CAST(sum(text_len) AS BIGINT) AS sum_len,
            epoch(max(ts)) AS last_ts
     FROM sess GROUP BY conv_id, sess_no
+),
+dmarked AS (
+    SELECT conv_id, turn_idx, ts, length(text) AS text_len,
+           CASE WHEN role = 'tool' THEN {_SESSION_DYN_GAP_TOOL}
+                ELSE {_SESSION_DYN_GAP_OTHER} END AS gap
+    FROM transcripts
+),
+dflag AS (
+    SELECT *, CASE WHEN max(epoch(ts) + gap) OVER dw IS NULL
+                     OR epoch(ts) >= max(epoch(ts) + gap) OVER dw
+                   THEN 1 ELSE 0 END AS new_sess
+    FROM dmarked
+    WINDOW dw AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+dsess AS (
+    SELECT *, SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                                  ROWS UNBOUNDED PRECEDING) AS sess_no
+    FROM dflag
+),
+dgrouped AS (
+    SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(max(floor(epoch(ts)) + gap) AS BIGINT) AS session_end,
+           conv_id, count(*) AS n_turns,
+           CAST(sum(text_len) AS BIGINT) AS sum_len
+    FROM dsess GROUP BY conv_id, sess_no
 )
 SELECT 'batch' AS strategy, session_start, session_end, conv_id, n_turns, sum_len
 FROM grouped
@@ -514,18 +548,37 @@ SELECT 'streamed' AS strategy, session_start, session_end, conv_id, n_turns, sum
 FROM grouped
 WHERE last_ts + {_SESSION_STREAM_GAP}
       <= (SELECT epoch(max_ts) FROM wm) - {_SESSION_STREAM_DELAY}
+UNION ALL
+SELECT 'dynamic_gap' AS strategy, session_start, session_end, conv_id, n_turns, sum_len
+FROM dgrouped
 """)
 
 
 @register("session_window_strategies", _SESSION_STRATEGIES_ORACLE)
 def session_window_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from saber_spark.operators.aggregation import AggSpec, session_aggregate
     from saber_spark.plans.saber_queries import session_window_agg
+    from saber_spark.plans.saber_queries import transcripts as _tx
 
     batch = session_window_agg(spark, sf_dir).select(
         F.lit("batch").alias("strategy"), "*")
     streamed = session_window_streamed(spark, sf_dir).select(
         F.lit("streamed").alias("strategy"), "*")
-    return batch.unionByName(streamed)
+
+    t = _tx(spark, sf_dir)
+    # string literals, not INTERVAL exprs: session_window requires
+    # CalendarIntervalType and only the string form casts to it
+    gap = F.when(
+        F.col("role") == "tool", F.lit(f"{_SESSION_DYN_GAP_TOOL} seconds")
+    ).otherwise(F.lit(f"{_SESSION_DYN_GAP_OTHER} seconds"))
+    dynamic = session_aggregate(
+        t.select("conv_id", "role", "ts", F.length("text").alias("text_len")),
+        gap_s=gap,
+        aggs=[AggSpec("cnt", "*", "n_turns"),
+              AggSpec("sum", F.col("text_len").cast("long"), "sum_len")],
+    ).select(F.lit("dynamic_gap").alias("strategy"), "*")
+
+    return batch.unionByName(streamed).unionByName(dynamic)
 
 
 # LRB4 accident notification as ONE streaming query with TWO chained

@@ -786,3 +786,67 @@ def test_count_windows_poison_turn_idx_is_bounded(spark, tmp_path):
     q.stop()
     got = spark.sql("SELECT * FROM poison_windows").collect()
     assert len(got) == 1 and got[0].window_id == 0
+
+
+def test_stream_stream_left_outer_join_emits_evicted_nulls(spark, stream_dir):
+    """Left-outer stream-stream join: matched rows equal the batch inner
+    join; unmatched left rows emit null-extended once the watermark has
+    provably passed their droppable point (a_ts + time_bound). Boundary
+    rows (evictable only at exactly the final watermark) are asserted
+    neither way — emission at the edge is a batch-timing detail."""
+    shutil.rmtree(os.path.join(TMP, "ckpt_ssjo"), ignore_errors=True)
+    bound, wm_delay = 3600, 1800
+    a = _read_stream(spark, stream_dir, max_files_per_trigger=2).where(
+        F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").alias("a_turn"), F.col("ts").alias("a_ts"))
+    b = _read_stream(spark, stream_dir, max_files_per_trigger=2).where(
+        F.col("role") == "tool").select(
+        F.col("conv_id").alias("conv_id"), F.col("turn_idx").alias("b_turn"),
+        F.col("ts").alias("b_ts"))
+    joined = streaming_stream_stream_join(
+        a, b, key="conv_id", left_ts="a_ts", right_ts="b_ts",
+        time_bound_s=bound, watermark=f"{wm_delay} seconds", how="left_outer",
+    ).select(a["conv_id"].alias("conv_id"), "a_turn", "b_turn")
+    q = _run_to_memory(joined, "ssjo", "append")
+    try:
+        got = spark.sql("SELECT * FROM ssjo").toPandas()
+        inner_got = _norm(got[got["b_turn"].notna()].copy())
+        null_got = {
+            (r.conv_id, r.a_turn) for r in got[got["b_turn"].isna()].itertuples()
+        }
+
+        t = transcripts(spark, SF_SMOKE)
+        ba = t.where(F.col("role") == "assistant").select(
+            "conv_id", F.col("turn_idx").alias("a_turn"), F.col("ts").alias("a_ts"))
+        bb = t.where(F.col("role") == "tool").select(
+            F.col("conv_id").alias("conv_id2"), F.col("turn_idx").alias("b_turn"),
+            F.col("ts").alias("b_ts"))
+        cond = (ba.conv_id == bb.conv_id2) & (
+            F.abs(ba.a_ts.cast("timestamp").cast("double")
+                  - bb.b_ts.cast("timestamp").cast("double")) <= bound
+        )
+        want_inner = _norm(
+            ba.join(bb, cond).select("conv_id", "a_turn", "b_turn").toPandas()
+        )
+        pd.testing.assert_frame_equal(
+            inner_got, _norm(want_inner), check_dtype=False
+        )
+
+        # the global watermark is the MIN across both inputs, and each
+        # input's watermark tracks only rows that survive its role
+        # filter — so the tool side (sparser) usually sets it
+        max_a = ba.agg(F.max(F.col("a_ts").cast("timestamp").cast("double"))).collect()[0][0]
+        max_b = bb.agg(F.max(F.col("b_ts").cast("timestamp").cast("double"))).collect()[0][0]
+        final_wm = min(max_a, max_b) - wm_delay
+        unmatched = ba.join(bb, cond, "left_anti").select(
+            "conv_id", "a_turn", F.col("a_ts").cast("timestamp").cast("double").alias("e")
+        ).collect()
+        must_emit = {(r.conv_id, r.a_turn) for r in unmatched if r.e + bound < final_wm - 60}
+        must_not = {(r.conv_id, r.a_turn) for r in unmatched if r.e + bound > final_wm}
+        matched_keys = {(r.conv_id, r.a_turn) for r in want_inner.itertuples()}
+        assert must_emit, "fixture produced no evictable unmatched rows"
+        assert must_emit <= null_got
+        assert not (null_got & must_not)
+        assert not (null_got & matched_keys), "outer null emitted for a matched row"
+    finally:
+        q.stop()
