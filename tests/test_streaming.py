@@ -850,3 +850,33 @@ def test_stream_stream_left_outer_join_emits_evicted_nulls(spark, stream_dir):
         assert not (null_got & matched_keys), "outer null emitted for a matched row"
     finally:
         q.stop()
+
+
+def test_stream_static_broadcast_enrichment(spark, stream_dir):
+    """Stream-static join: the transcript stream enriched against a
+    static dimension (per-tool stats computed in batch) must broadcast
+    the static side — no shuffle, no state store — and match the batch
+    join row-for-row. This is the standard dimension-enrichment pattern;
+    stateless per micro-batch, so no watermark is involved."""
+    shutil.rmtree(os.path.join(TMP, "ckpt_ssb"), ignore_errors=True)
+    t = transcripts(spark, SF_SMOKE)
+    dim = t.where(F.col("tool") != "").groupBy("tool").agg(
+        F.count(F.lit(1)).alias("tool_uses"))
+    src = _read_stream(spark, stream_dir, max_files_per_trigger=3).where(
+        F.col("tool") != "")
+    enriched = src.join(F.broadcast(dim), on="tool").select(
+        "conv_id", "turn_idx", "tool", "tool_uses")
+    # plan probe on the batch-equivalent: broadcast, not sort-merge
+    bplan = t.where(F.col("tool") != "").join(F.broadcast(dim), on="tool")
+    ptxt = bplan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ptxt and "SortMergeJoin" not in ptxt
+    q = _run_to_memory(enriched, "ssb", "append")
+    try:
+        got = _norm(spark.sql("SELECT * FROM ssb").toPandas())
+        want = _norm(
+            t.where(F.col("tool") != "").join(dim, on="tool")
+            .select("conv_id", "turn_idx", "tool", "tool_uses").toPandas())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert len(got) > 0
+    finally:
+        q.stop()
