@@ -1,0 +1,256 @@
+"""CEP-style sequence detection on Spark 4's arbitrary-state API
+(`transformWithStateInPandas`): per-conversation tool-loop runs.
+
+The pattern — N or more CONSECUTIVE tool turns, each within `max_gap_s`
+of the previous — is the transcript analogue of the reference's CEP
+pipelines (SURVEY.md §3.3, LRB accident chains): a sequence predicate
+over a keyed, time-ordered stream, not expressible as a windowed
+aggregate because the run boundary depends on the previous event's
+attributes, not on a fixed grid.
+
+Why transformWithState rather than applyInPandasWithState: runs need
+(a) per-key mutable state that survives micro-batches, (b) an
+EVENT-TIME timer so a trailing run finalizes when the watermark proves
+no continuation can arrive (last_ts + max_gap has passed), and (c)
+append-mode emission of completed runs only. The older API has no
+timers — a silent conversation would strand its final run in state
+forever. State per key is one fixed-width tuple plus one timer, so
+state size is O(#active conversations) regardless of stream length.
+
+Ordering contract: rows must arrive per-key in event-time order across
+micro-batches (within a batch the processor sorts). That matches the
+reference's in-order stream model; out-of-order input should be routed
+through a watermark/sort stage first.
+
+Batch twin: ``tool_loop_runs`` computes identical runs with a
+gaps-and-islands window plan — the parity oracle for the streamed path.
+
+Environment gate: transformWithState's driver↔worker state protocol is
+protobuf-based, and this container has no ``google.protobuf`` (and the
+brief forbids installing packages), so the end-to-end streamed
+execution cannot run here — ``detect_tool_loops_stream`` raises a clear
+error up front when protobuf is missing (``tws_available()``). The
+processor's run/timer logic is still fully tested batch-boundary by
+batch-boundary through a fake handle (tests/test_cep.py), and the batch
+twin is value-tested; on a normal cluster image (protobuf ships with
+pyspark[connect]) the streamed path runs as written.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+from pyspark.sql.window import Window
+
+if TYPE_CHECKING:  # pragma: no cover
+    pass
+
+__all__ = [
+    "ToolLoopDetector",
+    "detect_tool_loops_stream",
+    "tool_loop_runs",
+    "tws_available",
+]
+
+
+def tws_available() -> bool:
+    """True when the transformWithState worker protocol can run here
+    (requires google.protobuf, which pyspark does not bundle)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+#: (conv_id, run_start, run_end, n_tool_turns) — epoch seconds, floored
+OUTPUT_SCHEMA = (
+    "conv_id STRING, run_start BIGINT, run_end BIGINT, n_tool_turns INT"
+)
+
+_STATE_SCHEMA = "run_len INT, run_start DOUBLE, last_ts DOUBLE, timer_ms BIGINT"
+
+
+class ToolLoopDetector(StatefulProcessor):
+    """Emit one row per maximal run of >= n_min consecutive tool turns
+    with inter-turn gaps <= max_gap_s. Runs finalize when broken by a
+    non-tool turn / an over-gap tool turn, or by the event-time timer
+    once the watermark passes last_ts + max_gap_s."""
+
+    def __init__(self, n_min: int = 3, max_gap_s: float = 600.0):
+        if n_min < 1:
+            raise ValueError("ToolLoopDetector: n_min must be >= 1")
+        if max_gap_s <= 0:
+            raise ValueError("ToolLoopDetector: max_gap_s must be > 0")
+        self.n_min = n_min
+        self.max_gap_s = float(max_gap_s)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._run = handle.getValueState("run", _STATE_SCHEMA)
+
+    # -- helpers ----------------------------------------------------------
+    def _emit_row(self, conv_id: str, start: float, end: float, n: int):
+        return {
+            "conv_id": conv_id,
+            "run_start": int(start),
+            "run_end": int(end),
+            "n_tool_turns": int(n),
+        }
+
+    def _finalize(self, conv_id: str, state, out: list) -> None:
+        if state is not None and state[0] >= self.n_min:
+            out.append(self._emit_row(conv_id, state[1], state[2], state[0]))
+
+    # -- API --------------------------------------------------------------
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["ts_s", "turn_idx"], kind="mergesort")
+
+        state = self._run.get() if self._run.exists() else None
+        out: list = []
+        for role, ts in zip(pdf["role"].to_numpy(), pdf["ts_s"].to_numpy()):
+            ts = float(ts)
+            if role == "tool":
+                if state is not None and ts - state[2] <= self.max_gap_s:
+                    state = (state[0] + 1, state[1], ts, state[3])
+                else:
+                    # over-gap tool turn: the old run is provably over
+                    self._finalize(conv_id, state, out)
+                    state = (1, ts, ts, None)
+            else:
+                self._finalize(conv_id, state, out)
+                state = None
+
+        # re-arm the one timer this key owns at last_ts + gap
+        old_timer = None
+        if self._run.exists():
+            prev = self._run.get()
+            old_timer = prev[3] if prev is not None else None
+        if state is not None:
+            new_timer = int((state[2] + self.max_gap_s) * 1000) + 1
+            if old_timer is not None and old_timer != new_timer:
+                self._handle.deleteTimer(old_timer)
+            if old_timer != new_timer:
+                self._handle.registerTimer(new_timer)
+            self._run.update((state[0], state[1], state[2], new_timer))
+        else:
+            if old_timer is not None:
+                self._handle.deleteTimer(old_timer)
+            self._run.clear()
+
+        if out:
+            yield pd.DataFrame(out)
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        # watermark passed last_ts + gap: no row can extend the run
+        out: list = []
+        if self._run.exists():
+            state = self._run.get()
+            self._finalize(key[0], state, out)
+            self._run.clear()
+        if out:
+            yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def detect_tool_loops_stream(
+    stream: DataFrame,
+    *,
+    n_min: int = 3,
+    max_gap_s: float = 600.0,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Wire the detector onto a transcript stream: watermark → keyed
+    transformWithStateInPandas in event-time mode, append output."""
+    if not tws_available():
+        raise NotImplementedError(
+            "detect_tool_loops_stream: transformWithState needs "
+            "google.protobuf on the Python workers and this environment "
+            "does not provide it (see module docstring); the batch twin "
+            "tool_loop_runs is unaffected."
+        )
+    src = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col(ts_col).alias("ts"),
+            F.col(ts_col).cast("double").alias("ts_s"),
+        )
+    )
+    return src.groupBy("conv_id").transformWithStateInPandas(
+        statefulProcessor=ToolLoopDetector(n_min=n_min, max_gap_s=max_gap_s),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
+def tool_loop_runs(
+    df: DataFrame,
+    *,
+    n_min: int = 3,
+    max_gap_s: float = 600.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch twin: gaps-and-islands over (conv_id, ts, turn_idx) order.
+    A tool turn starts a new run when the previous turn was not a tool
+    turn or arrived more than max_gap_s earlier. Same output schema as
+    the streamed detector."""
+    ts_s: Column = F.col(ts_col).cast("timestamp").cast("double")
+    w = Window.partitionBy("conv_id").orderBy(F.col("_ts"), F.col("turn_idx"))
+    marked = df.select(
+        "conv_id", "turn_idx", "role", ts_s.alias("_ts")
+    ).withColumn(
+        "_new_run",
+        (
+            (F.col("role") == "tool")
+            & (
+                F.lag("role").over(w).isNull()
+                | (F.lag("role").over(w) != "tool")
+                | ((F.col("_ts") - F.lag("_ts").over(w)) > F.lit(max_gap_s))
+            )
+        ).cast("int"),
+    )
+    runs = marked.withColumn(
+        "_run_id",
+        F.sum("_new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).where(F.col("role") == "tool")
+    return (
+        runs.groupBy("conv_id", "_run_id")
+        .agg(
+            F.min("_ts").alias("_start"),
+            F.max("_ts").alias("_end"),
+            F.count(F.lit(1)).cast("int").alias("n_tool_turns"),
+        )
+        .where(F.col("n_tool_turns") >= n_min)
+        .select(
+            "conv_id",
+            F.floor("_start").cast("long").alias("run_start"),
+            F.floor("_end").cast("long").alias("run_end"),
+            "n_tool_turns",
+        )
+    )
