@@ -528,25 +528,68 @@ def connected_components_star(
             stats["convergence_checks"] = checks
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "packed",
+) -> DataFrame:
     """60-bit SimHash from distinct-token md5 bits (pure expressions).
 
     bit i of token-hash = (hexdigit(md5, i//4) >> (i%4)) & 1; each token
     votes ±1 per bit; signature bit set where the vote sum is positive.
+
+    ``method='wide'`` is the textbook form: one ``sum(bit*2-1)`` per bit
+    — 60 aggregation buffers per group (488 B of hash-agg row per doc,
+    the allocation pressure BENCH/BASELINE.md measured as this shape's
+    scaling ceiling). ``method='packed'`` (default) packs THREE 20-bit
+    vote counters into each long — votes are encoded {0,2} instead of
+    {-1,+1} so fields only ever accumulate upward (no borrows across
+    field boundaries) — cutting the state to 20 packed sums + 1 count.
+    Decode: counter_i > n_tokens ⟺ vote_sum_i > 0, since
+    enc_sum = vote_sum + n. Bit-identical signatures by integer
+    arithmetic (parity-tested); safe for up to 2^19 = 524,288 distinct
+    tokens per document (a doc beyond that would need a >5 MB vocab in
+    one row), after which a 20-bit field could carry into its neighbour.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("_t"),
     ).withColumn("_h", F.md5(F.col("_t")))
-    votes = []
-    for i in range(SIMHASH_BITS):
+
+    def bit_at(i: int) -> Column:
         digit = _hex_digit(F.col("_h"), i // 4 + 1)
-        bit = F.floor(digit / (2 ** (i % 4))).cast("long") % 2
-        votes.append(F.sum(bit * 2 - 1).alias(f"_v{i}"))
-    sums = toks.groupBy("_id").agg(*votes)
+        return F.floor(digit / (2 ** (i % 4))).cast("long") % 2
+
+    if method == "wide":
+        votes = [F.sum(bit_at(i) * 2 - 1).alias(f"_v{i}") for i in range(SIMHASH_BITS)]
+        sums = toks.groupBy("_id").agg(*votes)
+        vote_pos = [F.col(f"_v{i}") > 0 for i in range(SIMHASH_BITS)]
+    elif method == "packed":
+        FIELD_BITS, PER_LONG = 20, 3
+        n_longs = -(-SIMHASH_BITS // PER_LONG)
+        packed = []
+        for l in range(n_longs):
+            fields = range(l * PER_LONG, min((l + 1) * PER_LONG, SIMHASH_BITS))
+            enc = None
+            for off, i in enumerate(fields):
+                term = F.shiftleft(bit_at(i) * 2, FIELD_BITS * off)
+                enc = term if enc is None else enc + term
+            packed.append(F.sum(enc).alias(f"_p{l}"))
+        sums = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *packed)
+        vote_pos = [
+            (
+                F.shiftright(F.col(f"_p{i // PER_LONG}"), FIELD_BITS * (i % PER_LONG))
+                % (2**FIELD_BITS)
+            )
+            > F.col("_n")
+            for i in range(SIMHASH_BITS)
+        ]
+    else:
+        raise ValueError(f"simhash: unknown method {method!r} (wide|packed)")
     sig = None
     for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"_v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.when(vote_pos[i], F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 

@@ -638,6 +638,7 @@ class IcebergTable:
         operation: str,
         summary_extra: dict | None = None,
         known_delete_paths: set[str] | None = None,
+        meta_update=None,
     ) -> dict:
         """Commit that replaces ``removed_paths`` with ``new_files`` and
         carries every other live file forward. Concurrent appends merge
@@ -761,6 +762,10 @@ class IcebergTable:
             new["current-snapshot-id"] = snap_id
             new["last-sequence-number"] = seq
             new["last-updated-ms"] = now_ms
+            if meta_update is not None:
+                # table-level metadata riding the same atomic commit
+                # (e.g. the sort order a clustering rewrite establishes)
+                meta_update(new)
             return new
 
         return self._commit(build)
@@ -1114,6 +1119,85 @@ class IcebergTable:
         return self._rewrite_commit(
             new_files, {d["file_path"] for d in small}, "replace",
             known_delete_paths={d["file_path"] for d in deletes},
+        )
+
+    def rewrite_sorted(
+        self,
+        spark: SparkSession,
+        by: list[str],
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+    ) -> dict | None:
+        """Sort-order rewrite — RewriteDataFiles with the SORT strategy
+        (clustering): read every live data file through the merge-on-read
+        view, range-partition the whole table by ``by``, sort within
+        partitions, rewrite, and commit one ``replace`` snapshot that
+        also records the order under ``sort-orders`` /
+        ``default-sort-order-id`` (spec §Sort Orders).
+
+        This is the data-LAYOUT lever behind the stats pruning in
+        ``files(filters=…)``: after clustering, per-file min/max bounds
+        on the sort columns are tight and non-overlapping (ranges are
+        disjoint by construction), so a selective range predicate prunes
+        to ~the files that actually hold matching rows instead of every
+        file whose accidental bounds straddle the literal. At 100 TB the
+        scan cost of `ts`-range / `conv_id`-prefix queries is decided
+        here, not in the reader. Incremental/streaming consumers skip it
+        like any compaction ('replace' rewrites bytes, never rows), and
+        folded position deletes drop out of the metadata exactly as in
+        ``rewrite_data_files``. Returns None on an empty table.
+
+        Reference analogue: none (Saber holds no tables) — this is table
+        maintenance for the Iceberg layer the north_rule adds."""
+        meta = self._read_metadata()
+        names = {f["name"]: f["id"] for f in self._schema_fields(meta)}
+        missing = [c for c in by if c not in names]
+        if missing:
+            raise ValueError(
+                f"rewrite_sorted: sort columns {missing} not in the "
+                f"current schema ({sorted(names)})"
+            )
+        live = self._live_files(meta)
+        data = [d for d in live.values() if d.get("content", 0) == 0]
+        deletes = {
+            p for p, d in live.items() if d.get("content", 0) == 1
+        }
+        if not data:
+            return None
+        total = sum(d["file_size_in_bytes"] for d in data)
+        n_out = max(1, -(-total // target_file_size_bytes))
+        df = (
+            self._read_paths(spark, meta, sorted(d["file_path"] for d in data))
+            .repartitionByRange(n_out, *by)
+            .sortWithinPartitions(*by)
+        )
+        new_files = self._write_data_files(df, meta)
+
+        def record_sort_order(new: dict) -> None:
+            orders = new.get("sort-orders", [{"order-id": 0, "fields": []}])
+            oid = max(o["order-id"] for o in orders) + 1
+            new["sort-orders"] = orders + [
+                {
+                    "order-id": oid,
+                    "fields": [
+                        {
+                            "transform": "identity",
+                            "source-id": names[c],
+                            "direction": "asc",
+                            "null-order": "nulls-first",
+                        }
+                        for c in by
+                    ],
+                }
+            ]
+            new["default-sort-order-id"] = oid
+
+        return self._rewrite_commit(
+            new_files,
+            {d["file_path"] for d in data},
+            "replace",
+            summary_extra={"saber.sort-by": ",".join(by)},
+            known_delete_paths=deletes,
+            meta_update=record_sort_order,
         )
 
     @staticmethod

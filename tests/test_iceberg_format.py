@@ -887,3 +887,54 @@ def test_datasource_read_after_drop_then_readd(spark):
     # every pre-evolution row reads null for the re-added field
     assert got.where(F.col("tool").isNotNull()).count() == 0
     assert got.count() == a.count()
+
+
+def test_rewrite_sorted_clusters_tightens_bounds_and_folds_deletes(spark):
+    """Sort-order rewrite (clustering): before it, every file straddles
+    the whole turn_idx domain so a narrow range predicate prunes nothing;
+    after it, ranges are disjoint per file, so the same predicate skips
+    most files. Content is byte-identical (same multiset of rows, minus
+    MoR-deleted ones, which must NOT resurrect), the sort order lands in
+    table metadata, and incremental consumers skip the replace snapshot."""
+    loc = _fresh("sorted_rewrite")
+    src = transcripts(spark, SF_SMOKE).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    t = IcebergTable.create(loc, src)
+    # append in conv-hash chunks: each file spans ~all turn_idx values
+    for i in range(4):
+        t.append(src.where(F.crc32(F.col("conv_id")) % 4 == i).repartition(2))
+    # a merge-on-read delete that the rewrite must fold in
+    t.delete_where(spark, [("role", "=", "tool")], mode="merge-on-read")
+    assert t.delete_files() != []
+    snap_before = t.current_snapshot_id()
+    expected = _key_set(t.scan(spark))
+
+    narrow = [("turn_idx", ">=", 6), ("turn_idx", "<=", 7)]
+    files_before = t.files(filters=narrow)
+    assert len(files_before) == len(t.files())  # layout defeats pruning
+
+    total = sum(d["file_size_in_bytes"] for d in t.files())
+    t.rewrite_sorted(spark, by=["turn_idx"], target_file_size_bytes=max(1, total // 6))
+
+    files_all = t.files()
+    files_after = t.files(filters=narrow)
+    assert len(files_all) >= 4  # actually split into ranges
+    assert len(files_after) < len(files_all)  # pruning now bites
+    # row parity: clustering rewrites bytes, never rows
+    assert _key_set(t.scan(spark)) == expected
+    # MoR-deleted rows stay deleted and the delete files folded away
+    assert t.scan(spark).where(F.col("role") == "tool").count() == 0
+    assert t.delete_files() == []
+    # the sort order is recorded in table metadata (spec §Sort Orders)
+    meta = t._read_metadata()
+    oid = meta["default-sort-order-id"]
+    order = next(o for o in meta["sort-orders"] if o["order-id"] == oid)
+    tid = {f["name"]: f["id"] for f in t._schema_fields(meta)}["turn_idx"]
+    assert [f["source-id"] for f in order["fields"]] == [tid]
+    # pruned scan row-parity with a full-scan filter on the sorted column
+    pruned = t.scan(spark, filters=narrow)
+    full = t.scan(spark).where(F.col("turn_idx").between(6, 7))
+    assert _key_set(pruned) == _key_set(full)
+    # incremental tailing from before the rewrite sees no re-emitted rows
+    assert t.incremental(spark, from_snapshot_id=snap_before).count() == 0

@@ -459,3 +459,15 @@ def test_decontaminate_broadcasts_benchmark_probe(spark, docs):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_packed_bit_parity_with_wide(spark, docs):
+    """The packed 3-counters-per-long aggregation (20 buffers + count)
+    must produce bit-identical signatures to the textbook one-sum-per-bit
+    form (60 buffers) — the {0,2} vote encoding makes counter>n exactly
+    vote_sum>0, all in integer arithmetic."""
+    wide = dd.simhash(docs, method="wide").withColumnRenamed("simhash", "w")
+    packed = dd.simhash(docs, method="packed").withColumnRenamed("simhash", "p")
+    joined = wide.join(packed, "doc_id")
+    assert joined.where(F.col("w") != F.col("p")).count() == 0
+    assert joined.count() == docs.select("doc_id").distinct().count()
