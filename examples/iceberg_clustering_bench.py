@@ -10,7 +10,10 @@ numbers live in BENCH/ICEBERG.md.
 """
 import os
 import shutil
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 

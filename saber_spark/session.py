@@ -37,6 +37,12 @@ SCALE_CONFS: dict[str, str] = {
     # Scans: full 128 MB splits so a 100 TB read makes ~800k tasks, not 8M.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
+    # INT64 micros, not the legacy INT96: INT96 timestamp columns get NO
+    # parquet min/max statistics, which silently disables every layer of
+    # ts-range file skipping (parquet row-group pruning AND the Iceberg
+    # manifest bounds) — fatal for a time-series engine whose hottest
+    # predicate is a ts range.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Python Data Source v2 pushdown (the saber_iceberg source prunes
     # data files from manifest stats in pushFilters).
     "spark.sql.python.filterPushdown.enabled": "true",

@@ -938,3 +938,20 @@ def test_rewrite_sorted_clusters_tightens_bounds_and_folds_deletes(spark):
     assert _key_set(pruned) == _key_set(full)
     # incremental tailing from before the rewrite sees no re-emitted rows
     assert t.incremental(spark, from_snapshot_id=snap_before).count() == 0
+
+
+def test_timestamp_columns_carry_manifest_bounds(spark):
+    """Timestamps must be written as INT64 micros, not legacy INT96 —
+    INT96 parquet columns carry NO min/max statistics, which silently
+    disables both row-group pruning and Iceberg manifest ts-range
+    skipping (the hottest predicate shape for a time-series engine).
+    Guards the session-level outputTimestampType setting."""
+    loc = _fresh("ts_bounds")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    for d in t.files():
+        assert "ts" in d["lower_bounds"], "ts bounds missing: INT96 regression"
+        assert d["lower_bounds"]["ts"] <= d["upper_bounds"]["ts"]
+    # and the bounds actually prune: a range beyond the data keeps nothing
+    assert t.files(filters=[("ts", ">", "2999-01-01 00:00:00")]) == []
