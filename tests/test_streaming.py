@@ -880,3 +880,53 @@ def test_stream_static_broadcast_enrichment(spark, stream_dir):
         assert len(got) > 0
     finally:
         q.stop()
+
+
+def test_streaming_ivf_topk_matches_batch(spark):
+    """Streaming ANN enrichment == batch ivf_topk row-for-row: same
+    codebook, same probe count, same rounding and tie-breaks. The stream
+    carries 40 query embeddings in one event-time window plus a
+    far-future flush row whose watermark advance closes that window
+    (append mode emits a window only once the watermark passes it)."""
+    from saber_spark.operators.similarity import ivf_topk
+    from saber_spark.streaming.ann import streaming_ivf_topk
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = base.where(F.col("vec_id") % 13 == 0)  # 39 of 500
+
+    path = os.path.join(TMP, "ann_stream")
+    shutil.rmtree(path, ignore_errors=True)
+    q_ts = queries.withColumn(
+        "ts",
+        F.expr("timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,vec_id)"),
+    ).select("vec_id", "embedding", "ts")
+    q_ts.coalesce(1).write.parquet(os.path.join(path, "chunk=000"))
+    # flush row: its lone far-future window never closes (never emitted),
+    # but its watermark advance closes the real one
+    q_ts.limit(1).withColumn(
+        "ts", F.expr("timestamp_ntz'2030-01-01 00:00:00'")
+    ).coalesce(1).write.parquet(os.path.join(path, "chunk=001"))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/chunk=*")
+    )
+    out = streaming_ivf_topk(
+        stream, base, k=5, n_probes=3, window_s=86400, watermark="0 seconds"
+    )
+    shutil.rmtree(os.path.join(TMP, "ckpt_ann"), ignore_errors=True)
+    q = _run_to_memory(out, "ann", "append")
+    try:
+        got = _norm(
+            spark.sql("SELECT query_id, nbr_id, cosine, rk FROM ann").toPandas()
+        )
+        want = _norm(
+            ivf_topk(base, queries, k=5, n_probes=3)
+            .select("query_id", "nbr_id", "cosine", "rk")
+            .toPandas()
+        )
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        q.stop()
