@@ -326,7 +326,11 @@ WHERE o_orderkey % 97 = 0
 """
 
 
-@register("scalar_function_surface", _SCALAR_ORACLE)
+# r4 registry rotation: three rounds driver-green (r1-r3), pure-Catalyst
+# scalar expressions with zero scale risk — its slot went to
+# cep_match_strategies. Value-level evidence continues in pytest
+# (tests/test_rotated_out.py runs the same builder against _SCALAR_ORACLE
+# via DuckDB).
 def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
     return o.select(

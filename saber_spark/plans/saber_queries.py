@@ -710,6 +710,68 @@ def lrb_cep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Declarative CEP sequence matching (MATCH_RECOGNIZE-style): the reusable
+# generalization of the reference's CEP pipelines (SURVEY.md §3.3) and of
+# the tool-loop detector. One driver row value-checks BOTH match modes —
+# 'all' (overlapping anchors, pure-Catalyst lead() plan) and 'skip_past'
+# (AFTER MATCH SKIP PAST LAST ROW greedy selection; DuckDB twin re-derives
+# the greedy walk with a recursive CTE).
+# --------------------------------------------------------------------------
+
+from saber_spark.operators.cep import (  # noqa: E402
+    Step,
+    match_sequence,
+    sequence_match_oracle_ctes,
+)
+from saber_spark.sources.transcripts import TRANSCRIPTS_CTE  # noqa: E402
+
+#: "tool burst ending in a padded turn": three consecutive turns — any
+#: tool call, then a code/browse call, then a turn with padding tokens —
+#: within 48 h of event time. Anchors can be adjacent, so the two match
+#: modes genuinely diverge (overlaps exist at sf0.01: 2955 all vs 1736
+#: skip_past).
+_CEP_PREDS_SQL = [
+    "tool IN ('search','code','browse')",
+    "tool IN ('code','browse')",
+    "text LIKE '%tok%'",
+]
+_CEP_STEPS = [Step(f"s{j}", p) for j, p in enumerate(_CEP_PREDS_SQL)]
+_CEP_WITHIN_S = 172_800.0
+
+_CEP_MATCH_ORACLE = (
+    TRANSCRIPTS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ","
+    + sequence_match_oracle_ctes(_CEP_PREDS_SQL, within_s=_CEP_WITHIN_S)
+    + """
+SELECT 'all' AS strategy, conv_id, start_turn, end_turn,
+       _sus // 1000000 AS start_ts, _eus // 1000000 AS end_ts
+FROM _cep_cand
+UNION ALL
+SELECT 'skip_past' AS strategy, conv_id, start_turn, end_turn,
+       _sus // 1000000 AS start_ts, _eus // 1000000 AS end_ts
+FROM _cep_sel
+"""
+)
+
+
+@register("cep_match_strategies", _CEP_MATCH_ORACLE)
+def cep_match_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence matching through BOTH match modes,
+    strategy-tagged and unioned (operators/cep.py). Step predicates are
+    evaluated once per row in Catalyst; 'all' is a pure lead()-window
+    plan, 'skip_past' adds one applyInPandas greedy pass over candidate
+    matches only. The streamed twin is streaming/cep.py SequenceMatcher
+    (parity-tested batch-boundary by batch-boundary in tests/
+    test_cep_sequence.py)."""
+    t = transcripts(spark, sf_dir)
+    a = match_sequence(t, _CEP_STEPS, within_s=_CEP_WITHIN_S, mode="all")
+    s = match_sequence(t, _CEP_STEPS, within_s=_CEP_WITHIN_S, mode="skip_past")
+    return a.select(F.lit("all").alias("strategy"), "*").unionByName(
+        s.select(F.lit("skip_past").alias("strategy"), "*")
+    )
+
+
+# --------------------------------------------------------------------------
 # SG2-style (smart-grid): per-key windowed average vs the global windowed
 # average in the same window — keys exceeding the global (outliers).
 # Reference runs SG1-SG3 in figure-07 (scripts name them; this is the

@@ -56,8 +56,10 @@ if TYPE_CHECKING:  # pragma: no cover
     pass
 
 __all__ = [
+    "SequenceMatcher",
     "ToolLoopDetector",
     "detect_tool_loops_stream",
+    "match_sequence_stream",
     "tool_loop_runs",
     "tws_available",
 ]
@@ -169,6 +171,198 @@ class ToolLoopDetector(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+#: SequenceMatcher output — same convention as the batch operator
+#: (operators/cep.py match_sequence): epoch seconds floored to long.
+SEQ_OUTPUT_SCHEMA = (
+    "conv_id STRING, start_turn INT, end_turn INT, "
+    "start_ts BIGINT, end_ts BIGINT"
+)
+
+_SEQ_CTR_SCHEMA = "pos BIGINT, next_allowed BIGINT, timer_ms BIGINT"
+_SEQ_BUF_SCHEMA = "bits BIGINT, us BIGINT, idx INT"
+
+
+class SequenceMatcher(StatefulProcessor):
+    """Streamed twin of ``operators/cep.py::match_sequence``: match a
+    fixed ``n_steps``-long pattern of per-row predicates against
+    CONSECUTIVE rows of one conversation, in both MATCH_RECOGNIZE
+    modes ('all' = overlapping anchors, 'skip_past' = greedy
+    non-overlapping, AFTER MATCH SKIP PAST LAST ROW).
+
+    The plan evaluates every step predicate ONCE per row in Catalyst and
+    packs the results into one ``_bits`` long (bit ``j`` = step ``j``
+    holds), so the processor never re-evaluates predicates — it walks
+    booleans. A match completes exactly when its LAST row arrives, so
+    emission needs no watermark timer; per-key state is a ring buffer of
+    the trailing ``n_steps - 1`` rows plus two counters — O(pattern
+    length) regardless of stream length. The optional ``ttl_s`` timer
+    only frees state of silent conversations (it never emits) and must
+    be >= ``within_s`` so no in-bound match can span a cleared gap.
+
+    Ordering contract: same as ToolLoopDetector — rows arrive per key in
+    event-time order across micro-batches; within a batch the processor
+    sorts by (``us``, ``idx``).
+    """
+
+    def __init__(
+        self,
+        n_steps: int,
+        *,
+        within_us: int | None = None,
+        skip_past: bool = False,
+        ttl_s: float | None = None,
+    ):
+        if n_steps < 1:
+            raise ValueError("SequenceMatcher: n_steps must be >= 1")
+        if n_steps > 63:
+            raise ValueError("SequenceMatcher: n_steps must fit a 64-bit mask")
+        if within_us is not None and within_us <= 0:
+            raise ValueError("SequenceMatcher: within_us must be > 0")
+        if (
+            ttl_s is not None
+            and within_us is not None
+            and ttl_s * 1_000_000 < within_us
+        ):
+            raise ValueError(
+                "SequenceMatcher: ttl_s must be >= within_s — otherwise a "
+                "still-in-bound partial match could be evicted mid-pattern"
+            )
+        self.n_steps = n_steps
+        self.within_us = within_us
+        self.skip_past = skip_past
+        self.ttl_s = ttl_s
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._ctr = handle.getValueState("ctr", _SEQ_CTR_SCHEMA)
+        self._buf = handle.getListState("buf", _SEQ_BUF_SCHEMA)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        L = self.n_steps
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["us", "idx"], kind="mergesort")
+
+        pos, next_allowed, old_timer = (
+            self._ctr.get() if self._ctr.exists() else (0, 0, None)
+        )
+        buf: list = list(self._buf.get()) if self._ctr.exists() else []
+
+        out: list = []
+        for idx, us, bits in zip(
+            pdf["idx"].to_numpy(), pdf["us"].to_numpy(), pdf["bits"].to_numpy()
+        ):
+            pos += 1
+            buf.append((int(bits), int(us), int(idx)))
+            if len(buf) > L:
+                buf.pop(0)
+            if len(buf) == L and all(
+                (buf[j][0] >> j) & 1 for j in range(L)
+            ):
+                span_ok = (
+                    self.within_us is None
+                    or buf[-1][1] - buf[0][1] <= self.within_us
+                )
+                start_pos = pos - L + 1
+                if span_ok and (not self.skip_past or start_pos >= next_allowed):
+                    out.append(
+                        {
+                            "conv_id": conv_id,
+                            "start_turn": buf[0][2],
+                            "end_turn": buf[-1][2],
+                            "start_ts": buf[0][1] // 1_000_000,
+                            "end_ts": buf[-1][1] // 1_000_000,
+                        }
+                    )
+                    if self.skip_past:
+                        next_allowed = pos + 1
+
+        new_timer = None
+        if self.ttl_s is not None and buf:
+            new_timer = int(buf[-1][1] // 1000 + self.ttl_s * 1000) + 1
+            if old_timer is not None and old_timer != new_timer:
+                self._handle.deleteTimer(old_timer)
+            if old_timer != new_timer:
+                self._handle.registerTimer(new_timer)
+        self._ctr.update((pos, next_allowed, new_timer))
+        self._buf.clear()
+        if len(buf) > L - 1:
+            buf = buf[-(L - 1):] if L > 1 else []
+        if buf:
+            self._buf.put(buf)
+
+        if out:
+            yield pd.DataFrame(out)
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        # conversation silent past ttl: free its state. Nothing to emit —
+        # matches complete on arrival of their last row. For skip_past the
+        # greedy frontier resets too, which is sound: with ttl >= within
+        # no admissible match can overlap a match from before the gap.
+        self._ctr.clear()
+        self._buf.clear()
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def match_sequence_stream(
+    stream: DataFrame,
+    steps,
+    *,
+    within_s: float | None = None,
+    mode: str = "all",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    ttl_s: float | None = None,
+) -> DataFrame:
+    """Wire SequenceMatcher onto a transcript stream. ``steps`` is the
+    batch operator's list of ``operators.cep.Step``; predicates compile
+    to ONE Catalyst bit-pack projection (JVM-side), the keyed processor
+    sees (idx, us, bits) only."""
+    if not tws_available():
+        raise NotImplementedError(
+            "match_sequence_stream: transformWithState needs google.protobuf "
+            "on the Python workers (see module docstring); the batch twin "
+            "operators.cep.match_sequence is unaffected."
+        )
+    if mode not in ("all", "skip_past"):
+        raise ValueError("match_sequence_stream: mode must be all|skip_past")
+    bits = None
+    for j, s in enumerate(steps):
+        term = F.when(F.coalesce(F.expr(s.predicate), F.lit(False)),
+                      F.lit(1 << j)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    src = (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("idx"),
+            F.col(ts_col).alias("ts"),
+            F.unix_micros(F.col(ts_col)).alias("us"),
+            bits.cast("long").alias("bits"),
+        )
+    )
+    within_us = None if within_s is None else int(round(within_s * 1_000_000))
+    return src.groupBy("conv_id").transformWithStateInPandas(
+        statefulProcessor=SequenceMatcher(
+            len(steps),
+            within_us=within_us,
+            skip_past=(mode == "skip_past"),
+            ttl_s=ttl_s,
+        ),
+        outputStructType=SEQ_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
 
 
 def detect_tool_loops_stream(

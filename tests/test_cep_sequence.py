@@ -1,0 +1,303 @@
+"""Declarative CEP sequence matching (operators/cep.py +
+streaming/cep.py::SequenceMatcher): batch modes vs hand-computed matches
+and vs a brute-force reference on synthesized transcripts; the streamed
+processor driven batch-boundary by batch-boundary (fake handle, the TWS
+wiring itself is protobuf-gated) must equal the batch operator in BOTH
+match modes, including matches whose rows span micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from saber_spark.operators.cep import Step, match_sequence
+from saber_spark.streaming.cep import SequenceMatcher
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.LongType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _t(epoch: int) -> dt.datetime:
+    return dt.datetime.fromtimestamp(epoch, dt.timezone.utc).replace(tzinfo=None)
+
+
+# pattern: tool turn, then tool turn, then user turn — within 100 s.
+_STEPS = [
+    Step("a", "tool <> ''"),
+    Step("b", "tool <> ''"),
+    Step("c", "role = 'user'"),
+]
+
+# convA: rows 0-4 = tool,tool,tool,user @10s spacing -> anchors at idx 0
+#   (t,t,t fails step c), idx 1 (t,t,user matches), idx 2 fails (t,user,?).
+#   Then 5-9 repeats the motif twice back-to-back so skip_past must drop
+#   an overlapping anchor.
+# convB: a match whose within-bound fails (middle gap 200 s).
+# convC: a match split across micro-batch boundaries (rows in chunks 0/1/2).
+_CHUNKS = [
+    [
+        ("convA", 0, "x", "code", 1000),
+        ("convA", 1, "x", "search", 1010),
+        ("convA", 2, "x", "code", 1020),
+        ("convA", 3, "user", "", 1030),
+        ("convA", 4, "x", "browse", 1040),
+        ("convA", 5, "x", "code", 1050),
+        ("convA", 6, "user", "", 1060),
+        ("convB", 0, "x", "code", 1000),
+        ("convB", 1, "x", "code", 1200),
+        ("convB", 2, "user", "", 1210),
+        ("convC", 0, "x", "search", 5000),
+    ],
+    [
+        ("convC", 1, "x", "code", 5010),
+    ],
+    [
+        ("convC", 2, "user", "", 5020),
+    ],
+]
+
+#: (conv, start_turn, end_turn, start_ts, end_ts) — hand-derived.
+_ALL = {
+    ("convA", 1, 3, 1010, 1030),
+    ("convA", 4, 6, 1040, 1060),
+    ("convC", 0, 2, 5000, 5020),
+}
+# here no two 'all' matches overlap except... convA anchors are at 1 and 4
+# (distance 3 = L) so both survive skip_past too; overlap pruning is
+# covered by the synthesized-corpus test below and the driver entry.
+_SKIP = _ALL
+
+
+def _df(spark):
+    rows = [r for ch in _CHUNKS for r in ch]
+    return spark.createDataFrame(
+        [(c, i, r, tl, _t(e)) for c, i, r, tl, e in rows], schema=_SCHEMA
+    )
+
+
+def _rows(df) -> set:
+    return {
+        (r.conv_id, r.start_turn, r.end_turn, r.start_ts, r.end_ts)
+        for r in df.collect()
+    }
+
+
+def test_match_sequence_all_hand_computed(spark):
+    got = _rows(match_sequence(_df(spark), _STEPS, within_s=100, mode="all"))
+    assert got == _ALL
+
+
+def test_match_sequence_skip_past_hand_computed(spark):
+    got = _rows(
+        match_sequence(_df(spark), _STEPS, within_s=100, mode="skip_past")
+    )
+    assert got == _SKIP
+
+
+def test_match_sequence_guards(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError):
+        match_sequence(df, [], mode="all")
+    with pytest.raises(ValueError):
+        match_sequence(df, _STEPS, mode="bogus")
+    with pytest.raises(ValueError):
+        match_sequence(df, _STEPS, within_s=0)
+
+
+def _brute_force(rows, steps_ok, L, within_s, skip_past):
+    """Per-conv python reference: rows = [(idx, epoch, ok_vector)] sorted."""
+    out, nxt = [], 0
+    for i in range(len(rows) - L + 1):
+        window = rows[i : i + L]
+        if all(window[j][2][j] for j in range(L)) and (
+            within_s is None or window[-1][1] - window[0][1] <= within_s
+        ):
+            if not skip_past or i >= nxt:
+                out.append(
+                    (window[0][0], window[-1][0], int(window[0][1]), int(window[-1][1]))
+                )
+                if skip_past:
+                    nxt = i + L
+    return out
+
+
+@pytest.mark.parametrize("mode", ["all", "skip_past"])
+def test_match_sequence_vs_brute_force_synth(spark, mode):
+    """Synthesized skewed transcripts: operator output == per-conv python
+    brute force, for a pattern whose anchors DO overlap (all three steps
+    share a predicate class), in both modes."""
+    from saber_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_turns=4000, n_convs=40, seed=7)
+    steps = [
+        Step("a", "tool <> ''"),
+        Step("b", "tool <> ''"),
+        Step("c", "tool <> ''"),
+    ]
+    got = _rows(match_sequence(t, steps, within_s=3600, mode=mode))
+
+    pdf = (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            (F.col("tool") != "").alias("ok"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "us", "turn_idx"])
+    )
+    want = set()
+    for conv, g in pdf.groupby("conv_id"):
+        rows = [
+            (int(i), u / 1e6, (o, o, o))
+            for i, u, o in zip(g["turn_idx"], g["us"], g["ok"])
+        ]
+        for s_idx, e_idx, s_ts, e_ts in _brute_force(
+            rows, None, 3, 3600, mode == "skip_past"
+        ):
+            want.add((conv, s_idx, e_idx, s_ts, e_ts))
+    assert got == want
+    assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# streamed SequenceMatcher: fake-handle drive == batch operator
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeListState:
+    def __init__(self):
+        self._v = []
+
+    def get(self):
+        return iter(list(self._v))
+
+    def put(self, rows):
+        self._v = [tuple(r) for r in rows]
+
+    def clear(self):
+        self._v = []
+
+
+class _FakeHandle:
+    def __init__(self):
+        self._states = {}
+        self.timer = None
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self._states.setdefault(name, _FakeValueState())
+
+    def getListState(self, name, schema):
+        return self._states.setdefault(name, _FakeListState())
+
+    def registerTimer(self, ms):
+        self.timer = ms
+
+    def deleteTimer(self, ms):
+        if self.timer == ms:
+            self.timer = None
+
+
+def _bits(role: str, tool: str) -> int:
+    # mirrors match_sequence_stream's Catalyst bit-pack for _STEPS
+    b = 0
+    if tool != "":
+        b |= 0b11  # steps 0 and 1 share `tool <> ''`
+    if role == "user":
+        b |= 0b100
+    return b
+
+
+def _drive(mode: str) -> set:
+    per_key: dict = {}
+    emitted: list = []
+
+    def proc_for(conv):
+        if conv not in per_key:
+            p = SequenceMatcher(
+                3,
+                within_us=100 * 1_000_000,
+                skip_past=(mode == "skip_past"),
+                ttl_s=7200,
+            )
+            h = _FakeHandle()
+            p.init(h)
+            per_key[conv] = (p, h)
+        return per_key[conv]
+
+    for chunk in _CHUNKS:
+        by_key: dict = {}
+        for c, i, r, tl, e in chunk:
+            by_key.setdefault(c, []).append((i, e * 1_000_000, _bits(r, tl)))
+        for conv, rows in by_key.items():
+            p, _h = proc_for(conv)
+            pdf = pd.DataFrame(rows, columns=["idx", "us", "bits"])
+            for out in p.handleInputRows((conv,), iter([pdf]), None):
+                emitted.extend(out.to_dict("records"))
+    return {
+        (r["conv_id"], r["start_turn"], r["end_turn"], r["start_ts"], r["end_ts"])
+        for r in emitted
+    }
+
+
+@pytest.mark.parametrize("mode", ["all", "skip_past"])
+def test_sequence_matcher_equals_batch(spark, mode):
+    """Cross-batch continuation (convC's match spans three micro-batches),
+    within-bound rejection (convB), and both modes: the streamed processor
+    must emit exactly the batch operator's rows."""
+    want = _rows(match_sequence(_df(spark), _STEPS, within_s=100, mode=mode))
+    assert _drive(mode) == want
+
+
+def test_sequence_matcher_ttl_frees_state():
+    p = SequenceMatcher(3, within_us=10**8, ttl_s=3600)
+    h = _FakeHandle()
+    p.init(h)
+    pdf = pd.DataFrame(
+        [(0, 1_000_000_000, 3)], columns=["idx", "us", "bits"]
+    )
+    list(p.handleInputRows(("c",), iter([pdf]), None))
+    assert h.timer is not None  # armed at last_us + ttl
+    list(p.handleExpiredTimer(("c",), None, None))
+    assert not h._states["ctr"].exists()
+    assert list(h._states["buf"].get()) == []
+
+
+def test_sequence_matcher_guards():
+    with pytest.raises(ValueError):
+        SequenceMatcher(0)
+    with pytest.raises(ValueError):
+        SequenceMatcher(64)
+    with pytest.raises(ValueError):
+        SequenceMatcher(2, within_us=0)
+    with pytest.raises(ValueError):
+        # ttl shorter than the match bound could evict mid-pattern
+        SequenceMatcher(2, within_us=10_000_000, ttl_s=5)

@@ -26,12 +26,15 @@ def _builder(module: str, name: str):
         ("saber_queries", "theta_join_row_window", "_THETA_ROW_ORACLE"),
         # r4: slot went to lrb3_toll_streamed (the sunk variant subsumes it)
         ("streaming_queries", "ysb_windowed_agg_streamed", "_YSB_ORACLE"),
+        # r4: slot went to cep_match_strategies
+        ("relational_queries", "scalar_function_surface", "_SCALAR_ORACLE"),
     ],
 )
 def test_rotated_out_builder_matches_oracle(spark, duck, module, name, oracle_name):
-    import saber_spark.plans.saber_queries as sq
-    import saber_spark.plans.streaming_queries as stq
+    import importlib
 
-    oracle = getattr(sq if hasattr(sq, oracle_name) else stq, oracle_name)
+    oracle = getattr(
+        importlib.import_module(f"saber_spark.plans.{module}"), oracle_name
+    )
     df = _builder(module, name)(spark, SF_ORACLE)
     assert_matches_oracle(df, duck, oracle)
