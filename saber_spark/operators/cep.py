@@ -147,8 +147,11 @@ def _greedy_skip_past(cand: DataFrame, *, key: str, length: int) -> DataFrame:
     the previous kept match's end + 1. Runs over candidates only (the
     already-filtered all-mode output); the loop is per-candidate, not
     per-input-row."""
+    # the key keeps whatever type it has upstream (conv_id is a string
+    # here, but match_sequence allows any orderable key column)
+    key_type = cand.schema[key].dataType.simpleString()
     schema = (
-        f"{key} string, _pos int, start_turn int, end_turn int, "
+        f"{key} {key_type}, _pos int, start_turn int, end_turn int, "
         "_sus long, _eus long"
     )
 

@@ -548,9 +548,11 @@ def simhash(
     field boundaries) — cutting the state to 20 packed sums + 1 count.
     Decode: counter_i > n_tokens ⟺ vote_sum_i > 0, since
     enc_sum = vote_sum + n. Bit-identical signatures by integer
-    arithmetic (parity-tested); safe for up to 2^19 = 524,288 distinct
-    tokens per document (a doc beyond that would need a >5 MB vocab in
-    one row), after which a 20-bit field could carry into its neighbour.
+    arithmetic (parity-tested); safe for up to 2^19 - 1 = 524,287
+    distinct tokens per document (a doc beyond that would need a >5 MB
+    vocab in one row) — at n = 2^19 the {0,2}-encoded field hits 2^20
+    and would carry into its neighbour, so the plan guards the bound
+    with raise_error rather than corrupt a signature silently.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
@@ -591,6 +593,18 @@ def simhash(
     for i in range(SIMHASH_BITS):
         term = F.when(vote_pos[i], F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
+    if method == "packed":
+        # loud failure at the packing bound (cannot be column-pruned
+        # away: the signature itself routes through the guard)
+        sig = F.when(F.col("_n") < F.lit(2**19), sig).otherwise(
+            F.raise_error(
+                F.lit(
+                    "simhash(method='packed'): more than 2^19 - 1 distinct "
+                    "tokens in one document overflows a 20-bit packed vote "
+                    "counter — use method='wide' for this corpus"
+                )
+            ).cast("long")
+        )
     return sums.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 
 

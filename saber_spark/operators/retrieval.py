@@ -104,8 +104,12 @@ def bm25_topk(
     for c in per_term[1:]:
         score = score + c
 
+    # rank on the 6dp-rounded score: ln() is only faithfully rounded, so
+    # JVM vs libm can disagree by an ulp — ranking raw scores would let
+    # the k-boundary row SET differ across engines; rounded, the order
+    # (and the cut) is decided by (score6, id) identically everywhere
     return (
-        scored.select(F.col(id_col), score.alias("score"))
+        scored.select(F.col(id_col), F.round(score, 6).alias("score"))
         .where(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)

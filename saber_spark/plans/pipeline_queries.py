@@ -969,11 +969,13 @@ WITH d AS (
   FROM d
 ), scored AS (
   SELECT doc_id,
-         {' + '.join(
+         -- rank on round(.,6): ln() can differ by an ulp across engines,
+         -- and the top-k CUT must pick the same row set as Spark
+         round({' + '.join(
             f"(ln(1 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
             f" * tf_{t} * {_BM25_K1 + 1.0}"
             f" / (tf_{t} + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * dl / avgdl)))"
-            for t in _BM25_TERMS)} AS score
+            for t in _BM25_TERMS)}, 6) AS score
   FROM tokd CROSS JOIN stats
 )
 SELECT doc_id, score FROM scored WHERE score > 0

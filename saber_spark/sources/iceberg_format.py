@@ -104,18 +104,13 @@ def _schema_from_spark(schema) -> list[dict]:
     return fields
 
 
-def _spark_ddl(fields: list[dict]) -> str:
-    inv = {"int": "int", "long": "bigint", "timestamp": "timestamp"}
-    parts = []
-    for f in fields:
-        t = f.get("spark_type") or inv.get(f["type"], f["type"])
-        parts.append(f"`{f['name']}` {t}")
-    return ", ".join(parts)
-
-
 def _spark_type_of(f: dict) -> str:
     inv = {"int": "int", "long": "bigint", "timestamp": "timestamp"}
     return f.get("spark_type") or inv.get(f["type"], f["type"])
+
+
+def _spark_ddl(fields: list[dict]) -> str:
+    return ", ".join(f"`{f['name']}` {_spark_type_of(f)}" for f in fields)
 
 
 def _projection_to_current(
@@ -608,6 +603,10 @@ class IcebergTable:
                 "file_path": p,
                 "file_format": "PARQUET",
                 "partition": {},
+                # imported files match the CURRENT schema by contract —
+                # stamp it, or a later rename would resolve them through
+                # schema 0 and silently null the renamed columns
+                "schema-id": meta["current-schema-id"],
                 **_file_stats(p),
             }
             for p in paths
@@ -833,16 +832,20 @@ class IcebergTable:
         meta: dict,
         paths: list[str],
         apply_deletes: bool = True,
+        live: dict | None = None,
     ) -> DataFrame:
         """Read data files at ``paths`` under the current schema, with
         live position deletes applied by default — every row-level
         operation that rewrites files MUST see the merge-on-read view,
         or a copy-on-write rewrite would resurrect MoR-deleted rows.
         Columns resolve by field id via each file's writer schema (see
-        _read_data_entries), so rename/drop evolution is rewrite-safe."""
+        _read_data_entries), so rename/drop evolution is rewrite-safe.
+        Callers that already hold ``_live_files(meta)`` pass it via
+        ``live`` to avoid a second full manifest walk."""
         if not paths:
             return spark.createDataFrame([], _spark_ddl(self._schema_fields(meta)))
-        live = self._live_files(meta)
+        if live is None:
+            live = self._live_files(meta)
         entries = [live.get(p, {"file_path": p}) for p in paths]
         del_paths = None
         if apply_deletes:
@@ -920,12 +923,11 @@ class IcebergTable:
                 {"saber.delete-mode": "merge-on-read"},
                 validate=_targets_still_live,
             )
+        all_live = self._live_files(meta)
         known_dels = {
-            p
-            for p, d in self._live_files(meta).items()
-            if d.get("content", 0) == 1
+            p for p, d in all_live.items() if d.get("content", 0) == 1
         }
-        keep = self._read_paths(spark, meta, sorted(paths)).where(
+        keep = self._read_paths(spark, meta, sorted(paths), live=all_live).where(
             ~F.coalesce(pred, F.lit(False))
         )
         new_files = self._write_data_files(keep, meta)
@@ -979,7 +981,7 @@ class IcebergTable:
             hits = hits.unionByName(h)
         live_dels = [
             d["file_path"]
-            for d in self._live_files(meta).values()
+            for d in live.values()
             if d.get("content", 0) == 1
         ]
         if live_dels:
@@ -1054,8 +1056,14 @@ class IcebergTable:
         }
         live = [d for d in all_live.values() if d.get("content", 0) == 0]
         affected, carried_n = [], 0
+        nmaps = _bound_name_maps(meta)
         for d in live:
-            lo, hi = d["lower_bounds"].get(k0), d["upper_bounds"].get(k0)
+            # resolve the key's bound name through the file's writer
+            # schema — a rename chain must not let stale bounds carry a
+            # file that actually holds matching keys (missed update)
+            bk = nmaps.get(int(d.get("schema-id", 0)), {}).get(k0)
+            lo = None if bk is None else d["lower_bounds"].get(bk)
+            hi = None if bk is None else d["upper_bounds"].get(bk)
             if (
                 lo is not None
                 and hi is not None
@@ -1066,7 +1074,7 @@ class IcebergTable:
                 carried_n += 1
                 continue
             affected.append(d["file_path"])
-        target = self._read_paths(spark, meta, sorted(affected))
+        target = self._read_paths(spark, meta, sorted(affected), live=all_live)
         survivors = target.join(source, on=key_cols, how="left_anti").select(*cols)
         new_files = self._write_data_files(survivors.unionByName(source), meta)
         return self._rewrite_commit(
@@ -1113,7 +1121,7 @@ class IcebergTable:
         total = sum(d["file_size_in_bytes"] for d in small)
         n_out = max(1, -(-total // target_file_size_bytes))
         df = self._read_paths(
-            spark, meta, sorted(d["file_path"] for d in small)
+            spark, meta, sorted(d["file_path"] for d in small), live=live
         ).repartition(n_out)
         new_files = self._write_data_files(df, meta)
         return self._rewrite_commit(
@@ -1166,7 +1174,9 @@ class IcebergTable:
         total = sum(d["file_size_in_bytes"] for d in data)
         n_out = max(1, -(-total // target_file_size_bytes))
         df = (
-            self._read_paths(spark, meta, sorted(d["file_path"] for d in data))
+            self._read_paths(
+                spark, meta, sorted(d["file_path"] for d in data), live=live
+            )
             .repartitionByRange(n_out, *by)
             .sortWithinPartitions(*by)
         )
@@ -1350,11 +1360,12 @@ class IcebergTable:
         delete files (content=1) are excluded — use ``delete_files``."""
         meta = self._read_metadata()
         spec = {f["source-name"]: f for f in self._partition_fields(meta)}
+        nmaps = _bound_name_maps(meta) if filters else None
         out = []
         for d in self._live_entries(snapshot_id, as_of_ms):
             if d.get("content", 0) != 0:
                 continue
-            if filters and _pruned(d, filters, spec):
+            if filters and _pruned(d, filters, spec, nmaps):
                 continue
             out.append(d)
         return out
@@ -1387,11 +1398,12 @@ class IcebergTable:
             return spark.createDataFrame([], ddl)
         entries = self._live_entries(snap["snapshot-id"], meta=meta)
         spec = {f["source-name"]: f for f in self._partition_fields(meta)}
+        nmaps = _bound_name_maps(meta) if filters else None
         files = [
             d
             for d in entries
             if d.get("content", 0) == 0
-            and not (filters and _pruned(d, filters, spec))
+            and not (filters and _pruned(d, filters, spec, nmaps))
         ]
         if not files:
             return spark.createDataFrame([], ddl)
@@ -1573,17 +1585,53 @@ def _norm_ts_bounds(lo, hi, val):
     return lo, hi, val
 
 
-def _pruned(data_file: dict, filters, spec: dict) -> bool:
+def _bound_name_maps(meta: dict) -> dict[int, dict[str, str]]:
+    """Per writer-schema-id map {CURRENT column name -> the name that
+    same field (by id) had in that writer schema}. File column bounds
+    are keyed by the writer-time name, so after a rename chain
+    (a->b then c->a) the current name 'a' would otherwise collide with
+    a different field's stale bounds and wrongly prune live rows —
+    resolving through field ids makes pruning rename-proof, mirroring
+    the data read path."""
+    cur = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )["fields"]
+    maps: dict[int, dict[str, str]] = {}
+    for s in meta["schemas"]:
+        by_id = {f["id"]: f["name"] for f in s["fields"]}
+        maps[s["schema-id"]] = {
+            f["name"]: by_id[f["id"]] for f in cur if f["id"] in by_id
+        }
+    return maps
+
+
+def _pruned(
+    data_file: dict, filters, spec: dict, name_maps: dict | None = None
+) -> bool:
     """True iff the file PROVABLY contains no matching row (bounds or
-    identity-partition value contradict a conjunct)."""
+    identity-partition value contradict a conjunct). ``name_maps``
+    (from ``_bound_name_maps``) translates current column names to the
+    file's writer-schema bound keys; without it names are used as-is
+    (exact for never-renamed tables)."""
+    nm = (
+        name_maps.get(int(data_file.get("schema-id", 0)))
+        if name_maps is not None
+        else None
+    )
     for col, op, val in filters:
         pf_ = spec.get(col)
         if pf_ is not None and pf_["transform"] == "identity":
             pv = data_file["partition"].get(pf_["name"])
             if pv is not None and op == "=" and pv != str(val):
                 return True
-        lo = data_file["lower_bounds"].get(col)
-        hi = data_file["upper_bounds"].get(col)
+        if nm is not None:
+            key = nm.get(col)
+            if key is None:  # field absent in the writer schema: no bounds
+                continue
+        else:
+            key = col
+        lo = data_file["lower_bounds"].get(key)
+        hi = data_file["upper_bounds"].get(key)
         if lo is None or hi is None:
             continue
         lo, hi, val = _norm_ts_bounds(lo, hi, val)

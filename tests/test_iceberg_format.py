@@ -812,6 +812,53 @@ def test_drop_then_add_column_distinct_field_ids(spark):
     assert _key_set(got) == _key_set(a)
 
 
+def test_add_files_after_rename_stamps_current_schema(spark):
+    """Files imported via add_files match the CURRENT schema by
+    contract, so their manifest entries must carry the current
+    schema-id: a later rename would otherwise resolve them through
+    schema 0 and silently null the renamed column."""
+    import glob
+
+    loc = _fresh("addfiles_evolved")
+    a = _turns(spark, 0)
+    t = IcebergTable.create(loc, a)
+    t.rename_column("text", "body")  # schema 1 is now current
+    ext = _fresh("addfiles_evolved_ext")
+    b = _turns(spark, 0).withColumnRenamed("text", "body")
+    b.coalesce(1).write.parquet(ext)
+    t.add_files(sorted(glob.glob(os.path.join(ext, "*.parquet"))))
+    got = t.scan(spark)
+    assert _key_set(got) == _key_set(b)
+    assert got.where(F.col("body").isNull()).count() == 0
+
+
+def test_rename_chain_bounds_resolve_by_field_id(spark):
+    """Rename chain reusing a name (text->body, then tool->text): files
+    written pre-chain carry bounds keyed by the ORIGINAL 'text' field.
+    A filter on the current 'text' (the former tool field) must consult
+    the old 'tool' bounds, not the stale same-named ones — name-keyed
+    lookup would wrongly prune files whose original-text bounds exclude
+    the literal and silently drop matching rows."""
+    loc = _fresh("rename_chain")
+    a = _turns(spark, 0)
+    t = IcebergTable.create(loc, a)
+    t.append(a)
+    tool_val = (
+        a.where(F.col("tool") != "").orderBy("tool").collect()[0]["tool"]
+    )
+    want = {
+        (r["conv_id"], r["turn_idx"])
+        for r in a.where(F.col("tool") == tool_val).collect()
+    }
+    assert want, "fixture must contain at least one non-empty tool"
+    t.rename_column("text", "body")
+    t.rename_column("tool", "text")
+    got = t.scan(spark, filters=[("text", "=", tool_val)])
+    assert _key_set(got) == want
+    # files() agrees: at least one file admits the literal
+    assert t.files(filters=[("text", "=", tool_val)])
+
+
 def test_mor_delete_predicate_on_renamed_column(spark):
     """A merge-on-read DELETE whose predicate names the CURRENT (post-
     rename) column must still hit rows in files written pre-rename —

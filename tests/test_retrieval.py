@@ -36,7 +36,9 @@ WITH d AS (
          {', '.join(f"{df[t]} AS df_{t}" for t in TERMS)}
   FROM d
 ), scored AS (
-  SELECT doc_id, {per_term} AS score
+  -- round(.,6) before the cut, mirroring the operator's cross-engine
+  -- k-boundary contract
+  SELECT doc_id, round({per_term}, 6) AS score
   FROM tokd CROSS JOIN stats
 )
 SELECT doc_id, score FROM scored WHERE score > 0
