@@ -1,9 +1,12 @@
 """Declarative CEP sequence matching over keyed, time-ordered streams.
 
 ``match_sequence`` is a MATCH_RECOGNIZE-style operator: a pattern is an
-ordered list of :class:`Step` predicates; a match is ``L`` CONSECUTIVE
-rows of one key (ordered by event time, then ``turn_idx``) where row
-``j`` satisfies step ``j``'s predicate, with the whole match optionally
+ordered list of :class:`Step` predicates, each with an optional bounded
+quantifier ``repeat=(lo, hi)`` (the SQL ``{lo,hi}``); a match is a run
+of CONSECUTIVE rows of one key (ordered by event time, then
+``turn_idx``) partitioned into per-step runs of admissible lengths,
+selected GREEDILY (longer runs preferred, earlier steps first — the
+standard SQL quantifier semantics), with the whole match optionally
 bounded to ``within_s`` seconds of event time. Two standard-SQL match
 modes are supported:
 
@@ -26,7 +29,10 @@ windowed aggregates into an event-sequence detector, e.g.
   booleans, never re-evaluates predicates.
 - ``mode="all"`` is pure Catalyst: one shuffle on the key (the window
   partition), ``L-1`` ``lead()`` columns over one shared window frame,
-  then a filter. No Python at all.
+  then a filter. No Python at all. Quantified patterns compile to one
+  CASE over the concrete expansions (bounded by ``MAX_EXPANSIONS``)
+  over the same shared frame — still zero Python, and Catalyst
+  evaluates each distinct ``lead()`` once.
 - ``mode="skip_past"`` adds one ``applyInPandas`` pass over CANDIDATE
   matches only (the all-mode output, typically orders of magnitude
   smaller than the input); greedy selection is inherently sequential
@@ -57,14 +63,51 @@ __all__ = ["Step", "match_sequence", "sequence_match_oracle_ctes"]
 
 @dataclass(frozen=True)
 class Step:
-    """One pattern step: a name and a SQL boolean predicate over the
-    input row's columns (evaluated as a Catalyst expression)."""
+    """One pattern step: a name, a SQL boolean predicate over the input
+    row's columns (evaluated as a Catalyst expression), and a bounded
+    repeat range — ``repeat=(lo, hi)`` is the MATCH_RECOGNIZE quantifier
+    ``{lo,hi}`` (default ``{1,1}``), matched GREEDILY (longer runs
+    preferred, earlier steps first — standard SQL quantifier
+    semantics)."""
 
     name: str
     predicate: str
+    repeat: tuple[int, int] = (1, 1)
 
 
 _MODES = ("all", "skip_past")
+
+#: Bound on Π(hi-lo+1): quantified patterns compile to one Catalyst
+#: CASE over the concrete expansions, so the product must stay small.
+MAX_EXPANSIONS = 128
+
+
+def _expansions(steps: list[Step]) -> list[tuple[int, ...]]:
+    """Concrete per-step run lengths, sorted by greedy preference
+    (lexicographic descending — maximize the first step's run, then the
+    second's, ...)."""
+    import itertools
+
+    for s in steps:
+        lo, hi = s.repeat
+        if not (1 <= lo <= hi):
+            raise ValueError(
+                f"match_sequence: step {s.name!r} repeat must satisfy "
+                f"1 <= lo <= hi, got {s.repeat}"
+            )
+    n = 1
+    for s in steps:
+        n *= s.repeat[1] - s.repeat[0] + 1
+    if n > MAX_EXPANSIONS:
+        raise ValueError(
+            f"match_sequence: quantifier ranges expand to {n} concrete "
+            f"shapes (> {MAX_EXPANSIONS}) — tighten the repeat bounds"
+        )
+    exps = list(
+        itertools.product(*[range(s.repeat[0], s.repeat[1] + 1) for s in steps])
+    )
+    exps.sort(reverse=True)
+    return exps
 
 
 def match_sequence(
@@ -92,6 +135,9 @@ def match_sequence(
     if within_s is not None and within_s <= 0:
         raise ValueError("match_sequence: within_s must be > 0")
     L = len(steps)
+    within_us = (
+        None if within_s is None else int(round(within_s * 1_000_000))
+    )
 
     ts = F.col(ts_col).cast("timestamp")
     pre = df.select(
@@ -106,31 +152,88 @@ def match_sequence(
     )
 
     w = Window.partitionBy(key).orderBy("_ts", "_idx")
-    ok = F.col("_s0")
-    for j in range(1, L):
-        ok = ok & F.coalesce(F.lead(f"_s{j}", j).over(w), F.lit(False))
-    end_idx = F.lead("_idx", L - 1).over(w) if L > 1 else F.col("_idx")
-    end_us = F.lead("_us", L - 1).over(w) if L > 1 else F.col("_us")
 
-    cand = (
-        pre.select(
-            F.col(key),
-            F.row_number().over(w).alias("_pos"),
-            F.col("_idx").alias("start_turn"),
-            end_idx.alias("end_turn"),
-            F.col("_us").alias("_sus"),
-            end_us.alias("_eus"),
-            ok.alias("_ok"),
+    if all(s.repeat == (1, 1) for s in steps):
+        # fixed-length pattern: one conjunction, no expansion CASE
+        ok = F.col("_s0")
+        for j in range(1, L):
+            ok = ok & F.coalesce(F.lead(f"_s{j}", j).over(w), F.lit(False))
+        end_idx = F.lead("_idx", L - 1).over(w) if L > 1 else F.col("_idx")
+        end_us = F.lead("_us", L - 1).over(w) if L > 1 else F.col("_us")
+        cand = (
+            pre.select(
+                F.col(key),
+                F.row_number().over(w).alias("_pos"),
+                F.col("_idx").alias("start_turn"),
+                end_idx.alias("end_turn"),
+                F.col("_us").alias("_sus"),
+                end_us.alias("_eus"),
+                F.lit(L).alias("_len"),
+                ok.alias("_ok"),
+            )
+            .where(F.col("_ok"))
+            .drop("_ok")
         )
-        .where(F.col("_ok"))
-        .drop("_ok")
-    )
-    if within_s is not None:
-        within_us = int(round(within_s * 1_000_000))
-        cand = cand.where(F.col("_eus") - F.col("_sus") <= F.lit(within_us))
+        if within_us is not None:
+            cand = cand.where(
+                F.col("_eus") - F.col("_sus") <= F.lit(within_us)
+            )
+    else:
+        # quantified pattern: evaluate every concrete expansion's
+        # conjunction over the SAME shared window frame (Catalyst
+        # computes each lead() once), then pick the first match in
+        # greedy order with one CASE. within_s is part of expansion
+        # admissibility: a greedy-longer shape that breaks the time
+        # bound yields to the next admissible one, so the operator
+        # never drops a match a shorter shape would keep.
+        def lead_s(j: int, o: int):
+            c = F.col(f"_s{j}") if o == 0 else F.lead(f"_s{j}", o).over(w)
+            return c if o == 0 else F.coalesce(c, F.lit(False))
+
+        def lead_at(col: str, o: int):
+            return F.col(col) if o == 0 else F.lead(col, o).over(w)
+
+        pick = None
+        for e in _expansions(steps):
+            total = sum(e)
+            ok = None
+            off = 0
+            for j, r in enumerate(e):
+                for _ in range(r):
+                    term = lead_s(j, off)
+                    ok = term if ok is None else ok & term
+                    off += 1
+            eus = lead_at("_us", total - 1)
+            if within_us is not None:
+                ok = ok & (eus - F.col("_us") <= F.lit(within_us))
+            m = F.struct(
+                F.lit(total).alias("len"),
+                lead_at("_idx", total - 1).alias("eidx"),
+                eus.alias("eus"),
+            )
+            pick = F.when(ok, m) if pick is None else pick.when(ok, m)
+        cand = (
+            pre.select(
+                F.col(key),
+                F.row_number().over(w).alias("_pos"),
+                F.col("_idx").alias("start_turn"),
+                F.col("_us").alias("_sus"),
+                pick.alias("_m"),
+            )
+            .where(F.col("_m").isNotNull())
+            .select(
+                F.col(key),
+                F.col("_pos"),
+                F.col("start_turn"),
+                F.col("_m.eidx").alias("end_turn"),
+                F.col("_sus"),
+                F.col("_m.eus").alias("_eus"),
+                F.col("_m.len").alias("_len"),
+            )
+        )
 
     if mode == "skip_past":
-        cand = _greedy_skip_past(cand, key=key, length=L)
+        cand = _greedy_skip_past(cand, key=key)
 
     return cand.select(
         F.col(key),
@@ -141,28 +244,31 @@ def match_sequence(
     )
 
 
-def _greedy_skip_past(cand: DataFrame, *, key: str, length: int) -> DataFrame:
+def _greedy_skip_past(cand: DataFrame, *, key: str) -> DataFrame:
     """AFTER MATCH SKIP PAST LAST ROW selection: scan candidates of one
     key in position order, keeping a candidate iff it starts at or after
-    the previous kept match's end + 1. Runs over candidates only (the
-    already-filtered all-mode output); the loop is per-candidate, not
-    per-input-row."""
+    the previous kept match's end + 1 (each candidate carries its own
+    matched length ``_len`` — quantified patterns are variable-length).
+    Runs over candidates only (the already-filtered all-mode output);
+    the loop is per-candidate, not per-input-row."""
     # the key keeps whatever type it has upstream (conv_id is a string
     # here, but match_sequence allows any orderable key column)
     key_type = cand.schema[key].dataType.simpleString()
     schema = (
         f"{key} {key_type}, _pos int, start_turn int, end_turn int, "
-        "_sus long, _eus long"
+        "_sus long, _eus long, _len int"
     )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_pos", kind="mergesort")
         keep = []
         nxt = -1
-        for i, pos in enumerate(pdf["_pos"].to_numpy()):
+        for i, (pos, ln) in enumerate(
+            zip(pdf["_pos"].to_numpy(), pdf["_len"].to_numpy())
+        ):
             if pos >= nxt:
                 keep.append(i)
-                nxt = pos + length
+                nxt = pos + ln
         return pdf.iloc[keep]
 
     return cand.groupBy(key).applyInPandas(pick, schema=schema)
@@ -176,61 +282,122 @@ def sequence_match_oracle_ctes(
     key: str = "conv_id",
     ts_col: str = "ts",
     idx_col: str = "turn_idx",
+    repeats: list[tuple[int, int]] | None = None,
+    cte_prefix: str = "_cep",
 ) -> str:
     """DuckDB CTE block re-deriving both match modes in ANSI SQL:
-    ``_cep_cand`` (mode='all') and ``_cep_sel`` (mode='skip_past', via a
+    ``{p}_cand`` (mode='all') and ``{p}_sel`` (mode='skip_past', via a
     recursive CTE whose step picks the next candidate at ``_pos >=
-    prev + L`` with LATERAL ... LIMIT 1). The caller must be inside a
-    ``WITH RECURSIVE`` and SELECT from those CTEs."""
+    prev_pos + prev_len`` with LATERAL ... LIMIT 1). ``repeats`` mirrors
+    the Steps' quantifier ranges: when given, each candidate's greedy
+    match is re-derived with a CASE over the concrete expansions in
+    greedy-preference order — the exact selection the Spark operator
+    compiles. The caller must be inside a ``WITH RECURSIVE`` and SELECT
+    from those CTEs. ``cte_prefix`` makes the block instantiable more
+    than once in one statement."""
     L = len(steps_sql)
+    p_ = cte_prefix
+    # DuckDB (1.0) scopes WINDOW-clause names globally inside a WITH
+    # RECURSIVE statement, so the window name must be prefix-unique for
+    # the block to be instantiable twice in one query
+    wn = f"{p_}_w"
     preds = ",\n           ".join(
         f"COALESCE(({p}), FALSE) AS _s{j}" for j, p in enumerate(steps_sql)
     )
-    ok = " AND ".join(
-        f"_s0" if j == 0 else f"COALESCE(lead(_s{j}, {j}) OVER w, FALSE)"
-        for j in range(L)
+    within_us = (
+        None if within_s is None else int(round(within_s * 1_000_000))
     )
-    end_idx = f"lead(_idx, {L - 1}) OVER w" if L > 1 else "_idx"
-    end_us = f"lead(_us, {L - 1}) OVER w" if L > 1 else "_us"
-    within = (
-        f" AND _eus - _sus <= {int(round(within_s * 1_000_000))}"
-        if within_s is not None
-        else ""
-    )
+
+    def led(j: int, o: int) -> str:
+        return "_s0" if (j == 0 and o == 0) else (
+            f"COALESCE(lead(_s{j}, {o}) OVER {wn}, FALSE)"
+            if o > 0
+            else f"_s{j}"
+        )
+
+    if repeats is None or all(r == (1, 1) for r in repeats):
+        ok = " AND ".join(led(j, j) for j in range(L))
+        end_idx = f"lead(_idx, {L - 1}) OVER {wn}" if L > 1 else "_idx"
+        end_us = f"lead(_us, {L - 1}) OVER {wn}" if L > 1 else "_us"
+        within = (
+            f" AND _eus - _sus <= {within_us}"
+            if within_us is not None
+            else ""
+        )
+        led_sql = f"""
+{p_}_led AS (
+    SELECT {key},
+           row_number() OVER {wn} AS _pos,
+           _idx AS start_turn,
+           {end_idx} AS end_turn,
+           _us AS _sus,
+           {end_us} AS _eus,
+           {L} AS _len,
+           ({ok}) AS _ok
+    FROM {p_}_pre WINDOW {wn} AS (PARTITION BY {key} ORDER BY _ts, _idx)
+),
+{p_}_cand AS (
+    SELECT {key}, _pos, start_turn, end_turn, _sus, _eus, _len
+    FROM {p_}_led WHERE _ok{within}
+),"""
+    else:
+        steps = [
+            Step(f"s{j}", sql, repeats[j]) for j, sql in enumerate(steps_sql)
+        ]
+        len_cases, idx_cases, us_cases = [], [], []
+        for e in _expansions(steps):
+            total = sum(e)
+            terms, off = [], 0
+            for j, r in enumerate(e):
+                for _ in range(r):
+                    terms.append(led(j, off))
+                    off += 1
+            eus = f"lead(_us, {total - 1}) OVER {wn}" if total > 1 else "_us"
+            eidx = f"lead(_idx, {total - 1}) OVER {wn}" if total > 1 else "_idx"
+            ok = " AND ".join(terms)
+            if within_us is not None:
+                ok += f" AND ({eus}) - _us <= {within_us}"
+            len_cases.append(f"WHEN {ok} THEN {total}")
+            idx_cases.append(f"WHEN {ok} THEN {eidx}")
+            us_cases.append(f"WHEN {ok} THEN {eus}")
+        nl = "\n                "
+        led_sql = f"""
+{p_}_led AS (
+    SELECT {key},
+           row_number() OVER {wn} AS _pos,
+           _idx AS start_turn,
+           CASE {nl.join(idx_cases)} END AS end_turn,
+           _us AS _sus,
+           CASE {nl.join(us_cases)} END AS _eus,
+           CASE {nl.join(len_cases)} END AS _len
+    FROM {p_}_pre WINDOW {wn} AS (PARTITION BY {key} ORDER BY _ts, _idx)
+),
+{p_}_cand AS (
+    SELECT {key}, _pos, start_turn, end_turn, _sus, _eus, _len
+    FROM {p_}_led WHERE _len IS NOT NULL
+),"""
+
     return f"""
-_cep_pre AS (
+{p_}_pre AS (
     SELECT {key},
            CAST({idx_col} AS INTEGER) AS _idx,
            {ts_col} AS _ts,
            epoch_us({ts_col}) AS _us,
            {preds}
     FROM {source}
-),
-_cep_led AS (
-    SELECT {key},
-           row_number() OVER w AS _pos,
-           _idx AS start_turn,
-           {end_idx} AS end_turn,
-           _us AS _sus,
-           {end_us} AS _eus,
-           ({ok}) AS _ok
-    FROM _cep_pre WINDOW w AS (PARTITION BY {key} ORDER BY _ts, _idx)
-),
-_cep_cand AS (
-    SELECT {key}, _pos, start_turn, end_turn, _sus, _eus
-    FROM _cep_led WHERE _ok{within}
-),
-_cep_sel AS (
-    SELECT {key}, _pos, start_turn, end_turn, _sus, _eus FROM (
+),{led_sql}
+{p_}_sel AS (
+    SELECT {key}, _pos, start_turn, end_turn, _sus, _eus, _len FROM (
         SELECT *, row_number() OVER (PARTITION BY {key} ORDER BY _pos) AS _rn
-        FROM _cep_cand
+        FROM {p_}_cand
     ) WHERE _rn = 1
     UNION ALL
-    SELECT n.{key}, n._pos, n.start_turn, n.end_turn, n._sus, n._eus
-    FROM _cep_sel s, LATERAL (
-        SELECT c.{key}, c._pos, c.start_turn, c.end_turn, c._sus, c._eus
-        FROM _cep_cand c
-        WHERE c.{key} = s.{key} AND c._pos >= s._pos + {L}
+    SELECT n.{key}, n._pos, n.start_turn, n.end_turn, n._sus, n._eus, n._len
+    FROM {p_}_sel s, LATERAL (
+        SELECT c.{key}, c._pos, c.start_turn, c.end_turn, c._sus, c._eus,
+               c._len
+        FROM {p_}_cand c
+        WHERE c.{key} = s.{key} AND c._pos >= s._pos + s._len
         ORDER BY c._pos LIMIT 1
     ) n
 )"""

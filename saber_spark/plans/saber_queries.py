@@ -738,10 +738,26 @@ _CEP_PREDS_SQL = [
 _CEP_STEPS = [Step(f"s{j}", p) for j, p in enumerate(_CEP_PREDS_SQL)]
 _CEP_WITHIN_S = 172_800.0
 
+#: quantified pattern: a tool-turn RUN of {1,3} code/browse calls ending
+#: in a padded turn — greedy longest-run preference genuinely bites on
+#: transcripts (back-to-back tool calls are common), and within_s is
+#: expansion admissibility (a 3-run that breaks 48 h yields to a 2-run).
+_CEPQ_REPEATS = [(1, 1), (1, 3), (1, 1)]
+_CEPQ_STEPS = [
+    Step(f"q{j}", p, _CEPQ_REPEATS[j]) for j, p in enumerate(_CEP_PREDS_SQL)
+]
+
 _CEP_MATCH_ORACLE = (
     TRANSCRIPTS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + ","
     + sequence_match_oracle_ctes(_CEP_PREDS_SQL, within_s=_CEP_WITHIN_S)
+    + ","
+    + sequence_match_oracle_ctes(
+        _CEP_PREDS_SQL,
+        within_s=_CEP_WITHIN_S,
+        repeats=_CEPQ_REPEATS,
+        cte_prefix="_cepq",
+    )
     + """
 SELECT 'all' AS strategy, conv_id, start_turn, end_turn,
        _sus // 1000000 AS start_ts, _eus // 1000000 AS end_ts
@@ -750,24 +766,42 @@ UNION ALL
 SELECT 'skip_past' AS strategy, conv_id, start_turn, end_turn,
        _sus // 1000000 AS start_ts, _eus // 1000000 AS end_ts
 FROM _cep_sel
+UNION ALL
+SELECT 'quant_all' AS strategy, conv_id, start_turn, end_turn,
+       _sus // 1000000 AS start_ts, _eus // 1000000 AS end_ts
+FROM _cepq_cand
+UNION ALL
+SELECT 'quant_skip' AS strategy, conv_id, start_turn, end_turn,
+       _sus // 1000000 AS start_ts, _eus // 1000000 AS end_ts
+FROM _cepq_sel
 """
 )
 
 
 @register("cep_match_strategies", _CEP_MATCH_ORACLE)
 def cep_match_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MATCH_RECOGNIZE-style sequence matching through BOTH match modes,
+    """MATCH_RECOGNIZE-style sequence matching through BOTH match modes
+    AND a quantified (Kleene-range, greedy longest-match) pattern,
     strategy-tagged and unioned (operators/cep.py). Step predicates are
     evaluated once per row in Catalyst; 'all' is a pure lead()-window
     plan, 'skip_past' adds one applyInPandas greedy pass over candidate
-    matches only. The streamed twin is streaming/cep.py SequenceMatcher
-    (parity-tested batch-boundary by batch-boundary in tests/
-    test_cep_sequence.py)."""
+    matches only; the quantified legs compile the repeat ranges to one
+    CASE over concrete expansions in greedy-preference order — still
+    zero per-row Python. The streamed twin is streaming/cep.py
+    SequenceMatcher (parity-tested batch-boundary by batch-boundary in
+    tests/test_cep_sequence.py; quantified steps are batch-only,
+    loudly)."""
     t = transcripts(spark, sf_dir)
-    a = match_sequence(t, _CEP_STEPS, within_s=_CEP_WITHIN_S, mode="all")
-    s = match_sequence(t, _CEP_STEPS, within_s=_CEP_WITHIN_S, mode="skip_past")
-    return a.select(F.lit("all").alias("strategy"), "*").unionByName(
-        s.select(F.lit("skip_past").alias("strategy"), "*")
+
+    def leg(steps, mode, tag):
+        m = match_sequence(t, steps, within_s=_CEP_WITHIN_S, mode=mode)
+        return m.select(F.lit(tag).alias("strategy"), "*")
+
+    return (
+        leg(_CEP_STEPS, "all", "all")
+        .unionByName(leg(_CEP_STEPS, "skip_past", "skip_past"))
+        .unionByName(leg(_CEPQ_STEPS, "all", "quant_all"))
+        .unionByName(leg(_CEPQ_STEPS, "skip_past", "quant_skip"))
     )
 
 

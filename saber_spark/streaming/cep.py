@@ -327,14 +327,22 @@ def match_sequence_stream(
     batch operator's list of ``operators.cep.Step``; predicates compile
     to ONE Catalyst bit-pack projection (JVM-side), the keyed processor
     sees (idx, us, bits) only."""
+    if mode not in ("all", "skip_past"):
+        raise ValueError("match_sequence_stream: mode must be all|skip_past")
+    if any(getattr(s, "repeat", (1, 1)) != (1, 1) for s in steps):
+        raise NotImplementedError(
+            "match_sequence_stream: quantified steps (repeat != (1,1)) "
+            "are batch-only for now — greedy longest-match emission "
+            "needs a decision horizon of sum(hi) rows per anchor; use "
+            "operators.cep.match_sequence on a micro-batch/foreachBatch "
+            "view instead"
+        )
     if not tws_available():
         raise NotImplementedError(
             "match_sequence_stream: transformWithState needs google.protobuf "
             "on the Python workers (see module docstring); the batch twin "
             "operators.cep.match_sequence is unaffected."
         )
-    if mode not in ("all", "skip_past"):
-        raise ValueError("match_sequence_stream: mode must be all|skip_past")
     bits = None
     for j, s in enumerate(steps):
         term = F.when(F.coalesce(F.expr(s.predicate), F.lit(False)),

@@ -172,6 +172,146 @@ def test_match_sequence_vs_brute_force_synth(spark, mode):
 
 
 # ---------------------------------------------------------------------------
+# quantified patterns (Kleene-range repeats, greedy longest-match)
+# ---------------------------------------------------------------------------
+
+# pattern: tool turn ×{1,2} then a user turn, within 100 s. Greedy must
+# prefer the 2-run expansion; convB's anchor 0 is the within-fallback
+# case (the (2,1) shape breaks the bound AND the (1,1) shape fails its
+# predicate, so the anchor yields nothing).
+_QSTEPS = [
+    Step("a", "tool <> ''", repeat=(1, 2)),
+    Step("b", "role = 'user'"),
+]
+
+_Q_ALL = {
+    ("convA", 1, 3, 1010, 1030),
+    ("convA", 2, 3, 1020, 1030),
+    ("convA", 4, 6, 1040, 1060),
+    ("convA", 5, 6, 1050, 1060),
+    ("convB", 1, 2, 1200, 1210),
+    ("convC", 0, 2, 5000, 5020),
+    ("convC", 1, 2, 5010, 5020),
+}
+# skip_past walk per conv in anchor order, advancing by each kept
+# match's own length: convA keeps (1,3) len3 then (4,6) len3; convC
+# keeps (0,2) len3 which swallows the (1,2) overlap.
+_Q_SKIP = {
+    ("convA", 1, 3, 1010, 1030),
+    ("convA", 4, 6, 1040, 1060),
+    ("convB", 1, 2, 1200, 1210),
+    ("convC", 0, 2, 5000, 5020),
+}
+
+
+def test_match_sequence_quantified_all_hand_computed(spark):
+    got = _rows(match_sequence(_df(spark), _QSTEPS, within_s=100, mode="all"))
+    assert got == _Q_ALL
+
+
+def test_match_sequence_quantified_skip_past_hand_computed(spark):
+    got = _rows(
+        match_sequence(_df(spark), _QSTEPS, within_s=100, mode="skip_past")
+    )
+    assert got == _Q_SKIP
+
+
+def _brute_force_quantified(rows, repeats, within_s, skip_past):
+    """Greedy-quantifier python reference. rows = [(idx, epoch_s,
+    ok_vector)] sorted; ok_vector[j] = row satisfies step j."""
+    import itertools
+
+    exps = sorted(
+        itertools.product(*[range(lo, hi + 1) for lo, hi in repeats]),
+        reverse=True,
+    )
+    out, nxt = [], 0
+    for i in range(len(rows)):
+        if skip_past and i < nxt:
+            continue
+        for e in exps:
+            total = sum(e)
+            if i + total > len(rows):
+                continue
+            off, ok = 0, True
+            for j, r in enumerate(e):
+                for _ in range(r):
+                    ok = ok and rows[i + off][2][j]
+                    off += 1
+            if ok and (
+                within_s is None
+                or rows[i + total - 1][1] - rows[i][1] <= within_s
+            ):
+                out.append(
+                    (
+                        rows[i][0],
+                        rows[i + total - 1][0],
+                        int(rows[i][1]),
+                        int(rows[i + total - 1][1]),
+                    )
+                )
+                if skip_past:
+                    nxt = i + total
+                break
+    return out
+
+
+@pytest.mark.parametrize("mode", ["all", "skip_past"])
+def test_match_sequence_quantified_vs_brute_force_synth(spark, mode):
+    """Synthesized skewed transcripts vs the greedy python reference:
+    a {1,3} run of tool turns then {1,2} non-tool turns."""
+    from saber_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, n_turns=4000, n_convs=40, seed=11)
+    steps = [
+        Step("a", "tool <> ''", repeat=(1, 3)),
+        Step("b", "tool = ''", repeat=(1, 2)),
+    ]
+    got = _rows(match_sequence(t, steps, within_s=3600, mode=mode))
+
+    pdf = (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            (F.col("tool") != "").alias("ok"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "us", "turn_idx"])
+    )
+    want = set()
+    for conv, g in pdf.groupby("conv_id"):
+        rows = [
+            (int(i), u / 1e6, (o, not o))
+            for i, u, o in zip(g["turn_idx"], g["us"], g["ok"])
+        ]
+        for s_idx, e_idx, s_ts, e_ts in _brute_force_quantified(
+            rows, [(1, 3), (1, 2)], 3600, mode == "skip_past"
+        ):
+            want.add((conv, s_idx, e_idx, s_ts, e_ts))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_match_sequence_quantifier_guards(spark):
+    df = _df(spark)
+    with pytest.raises(ValueError):  # lo must be >= 1
+        match_sequence(df, [Step("a", "TRUE", repeat=(0, 2))])
+    with pytest.raises(ValueError):  # expansion blow-up must be loud
+        match_sequence(
+            df, [Step(str(j), "TRUE", repeat=(1, 4)) for j in range(5)]
+        )
+    from saber_spark.streaming.cep import match_sequence_stream
+
+    with pytest.raises(NotImplementedError, match="quantified"):
+        # quantified steps are batch-only on the streamed twin (checked
+        # before the protobuf environment gate)
+        match_sequence_stream(
+            df, [Step("a", "TRUE", repeat=(1, 2))], mode="all"
+        )
+
+
+# ---------------------------------------------------------------------------
 # streamed SequenceMatcher: fake-handle drive == batch operator
 # ---------------------------------------------------------------------------
 
