@@ -789,8 +789,8 @@ def cep_match_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE over concrete expansions in greedy-preference order — still
     zero per-row Python. The streamed twin is streaming/cep.py
     SequenceMatcher (parity-tested batch-boundary by batch-boundary in
-    tests/test_cep_sequence.py; quantified steps are batch-only,
-    loudly)."""
+    tests/test_cep_sequence.py, quantified patterns included via the
+    decision-horizon ring buffer + ttl tail flush)."""
     t = transcripts(spark, sf_dir)
 
     def leg(steps, mode, tag):

@@ -185,21 +185,31 @@ _SEQ_BUF_SCHEMA = "bits BIGINT, us BIGINT, idx INT"
 
 
 class SequenceMatcher(StatefulProcessor):
-    """Streamed twin of ``operators/cep.py::match_sequence``: match a
-    fixed ``n_steps``-long pattern of per-row predicates against
-    CONSECUTIVE rows of one conversation, in both MATCH_RECOGNIZE
-    modes ('all' = overlapping anchors, 'skip_past' = greedy
-    non-overlapping, AFTER MATCH SKIP PAST LAST ROW).
+    """Streamed twin of ``operators/cep.py::match_sequence``: match an
+    ``n_steps``-long pattern of per-row predicates — each step with an
+    optional bounded quantifier ``repeats[j]=(lo,hi)``, greedy
+    longest-match — against CONSECUTIVE rows of one conversation, in
+    both MATCH_RECOGNIZE modes ('all' = overlapping anchors,
+    'skip_past' = greedy non-overlapping, AFTER MATCH SKIP PAST LAST
+    ROW).
 
     The plan evaluates every step predicate ONCE per row in Catalyst and
     packs the results into one ``_bits`` long (bit ``j`` = step ``j``
     holds), so the processor never re-evaluates predicates — it walks
-    booleans. A match completes exactly when its LAST row arrives, so
-    emission needs no watermark timer; per-key state is a ring buffer of
-    the trailing ``n_steps - 1`` rows plus two counters — O(pattern
-    length) regardless of stream length. The optional ``ttl_s`` timer
-    only frees state of silent conversations (it never emits) and must
-    be >= ``within_s`` so no in-bound match can span a cleared gap.
+    booleans. An anchor is DECIDED when its decision horizon passes:
+    ``maxlen = Σ hi`` rows from the anchor have arrived (for unquantified
+    patterns maxlen = n_steps, so a match still emits exactly when its
+    last row arrives), at which point the greedy-first admissible
+    expansion emits. Per-key state is a ring buffer of the trailing
+    ``maxlen - 1`` rows plus two counters — O(pattern length) regardless
+    of stream length. The ``ttl_s`` timer additionally FLUSHES the tail
+    on silence: anchors still inside the horizon are decided against the
+    rows that did arrive (exactly the batch semantics at end-of-data —
+    shorter expansions may match, longer ones are refuted), then state
+    is freed; with ``ttl_s >= within_s`` no admissible match can span
+    the flushed gap. Quantified patterns on an UNBOUNDED stream should
+    therefore set ``ttl_s`` — without it a conversation's trailing
+    sub-horizon matches wait forever.
 
     Ordering contract: same as ToolLoopDetector — rows arrive per key in
     event-time order across micro-batches; within a batch the processor
@@ -213,7 +223,10 @@ class SequenceMatcher(StatefulProcessor):
         within_us: int | None = None,
         skip_past: bool = False,
         ttl_s: float | None = None,
+        repeats: list[tuple[int, int]] | None = None,
     ):
+        import itertools
+
         if n_steps < 1:
             raise ValueError("SequenceMatcher: n_steps must be >= 1")
         if n_steps > 63:
@@ -229,21 +242,79 @@ class SequenceMatcher(StatefulProcessor):
                 "SequenceMatcher: ttl_s must be >= within_s — otherwise a "
                 "still-in-bound partial match could be evicted mid-pattern"
             )
+        repeats = repeats or [(1, 1)] * n_steps
+        if len(repeats) != n_steps:
+            raise ValueError("SequenceMatcher: len(repeats) must == n_steps")
+        for lo, hi in repeats:
+            if not (1 <= lo <= hi):
+                raise ValueError(
+                    "SequenceMatcher: each repeat must satisfy 1 <= lo <= hi"
+                )
+        n_exp = 1
+        for lo, hi in repeats:
+            n_exp *= hi - lo + 1
+        if n_exp > 128:  # mirrors operators.cep.MAX_EXPANSIONS
+            raise ValueError(
+                f"SequenceMatcher: quantifier ranges expand to {n_exp} "
+                "concrete shapes (> 128) — tighten the repeat bounds"
+            )
         self.n_steps = n_steps
         self.within_us = within_us
         self.skip_past = skip_past
         self.ttl_s = ttl_s
+        # greedy-preference order (lexicographic desc), precompiled to
+        # (total_len, step-index-per-offset) plans the row loop walks
+        exps = sorted(
+            itertools.product(*[range(lo, hi + 1) for lo, hi in repeats]),
+            reverse=True,
+        )
+        self._plans = [
+            (sum(e), tuple(j for j, r in enumerate(e) for _ in range(r)))
+            for e in exps
+        ]
+        self.maxlen = max(t for t, _ in self._plans)
+
+    def _match_at(self, buf: list) -> int | None:
+        """Greedy-first admissible expansion length at anchor buf[0], or
+        None. Admissibility = every offset's step bit set AND the span
+        fits within_us; a longer shape failing either yields to the next
+        (exactly the batch operator's CASE order)."""
+        n = len(buf)
+        for total, step_of in self._plans:
+            if total > n:
+                continue
+            if (
+                self.within_us is not None
+                and buf[total - 1][1] - buf[0][1] > self.within_us
+            ):
+                continue
+            if all((buf[o][0] >> s) & 1 for o, s in enumerate(step_of)):
+                return total
+        return None
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
         self._ctr = handle.getValueState("ctr", _SEQ_CTR_SCHEMA)
         self._buf = handle.getListState("buf", _SEQ_BUF_SCHEMA)
 
+    def _emit(
+        self, conv_id, buf: list, total: int, out: list
+    ) -> None:
+        out.append(
+            {
+                "conv_id": conv_id,
+                "start_turn": buf[0][2],
+                "end_turn": buf[total - 1][2],
+                "start_ts": buf[0][1] // 1_000_000,
+                "end_ts": buf[total - 1][1] // 1_000_000,
+            }
+        )
+
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
-        L = self.n_steps
+        M = self.maxlen
         pdf = pd.concat(list(rows), ignore_index=True)
         pdf = pdf.sort_values(["us", "idx"], kind="mergesort")
 
@@ -253,45 +324,38 @@ class SequenceMatcher(StatefulProcessor):
         buf: list = list(self._buf.get()) if self._ctr.exists() else []
 
         out: list = []
+        last_us = None
         for idx, us, bits in zip(
             pdf["idx"].to_numpy(), pdf["us"].to_numpy(), pdf["bits"].to_numpy()
         ):
             pos += 1
+            last_us = int(us)
             buf.append((int(bits), int(us), int(idx)))
-            if len(buf) > L:
-                buf.pop(0)
-            if len(buf) == L and all(
-                (buf[j][0] >> j) & 1 for j in range(L)
-            ):
-                span_ok = (
-                    self.within_us is None
-                    or buf[-1][1] - buf[0][1] <= self.within_us
-                )
-                start_pos = pos - L + 1
-                if span_ok and (not self.skip_past or start_pos >= next_allowed):
-                    out.append(
-                        {
-                            "conv_id": conv_id,
-                            "start_turn": buf[0][2],
-                            "end_turn": buf[-1][2],
-                            "start_ts": buf[0][1] // 1_000_000,
-                            "end_ts": buf[-1][1] // 1_000_000,
-                        }
-                    )
+            if len(buf) == M:
+                # anchor buf[0] (stream position pos - M + 1) is fully
+                # decided: its longest expansion's rows have all arrived
+                a_pos = pos - M + 1
+                total = self._match_at(buf)
+                if total is not None and (
+                    not self.skip_past or a_pos >= next_allowed
+                ):
+                    self._emit(conv_id, buf, total, out)
                     if self.skip_past:
-                        next_allowed = pos + 1
+                        next_allowed = a_pos + total
+                buf.pop(0)
 
         new_timer = None
-        if self.ttl_s is not None and buf:
-            new_timer = int(buf[-1][1] // 1000 + self.ttl_s * 1000) + 1
+        if self.ttl_s is not None and last_us is not None:
+            # armed from the last PROCESSED row (not the buffer, which is
+            # empty for maxlen == 1): the timer both frees state and
+            # flushes the tail anchors still inside the horizon
+            new_timer = int(last_us // 1000 + self.ttl_s * 1000) + 1
             if old_timer is not None and old_timer != new_timer:
                 self._handle.deleteTimer(old_timer)
             if old_timer != new_timer:
                 self._handle.registerTimer(new_timer)
         self._ctr.update((pos, next_allowed, new_timer))
         self._buf.clear()
-        if len(buf) > L - 1:
-            buf = buf[-(L - 1):] if L > 1 else []
         if buf:
             self._buf.put(buf)
 
@@ -301,13 +365,32 @@ class SequenceMatcher(StatefulProcessor):
     def handleExpiredTimer(
         self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
-        # conversation silent past ttl: free its state. Nothing to emit —
-        # matches complete on arrival of their last row. For skip_past the
-        # greedy frontier resets too, which is sound: with ttl >= within
-        # no admissible match can overlap a match from before the gap.
+        # conversation silent past ttl: decide the tail anchors against
+        # the rows that arrived (end-of-data batch semantics — longer
+        # expansions are refuted, shorter ones may still match; for an
+        # unquantified pattern no expansion fits the <maxlen tail, so
+        # this emits nothing and the flush is a pure state free), then
+        # free the state. Resetting the skip_past frontier is sound:
+        # with ttl >= within no admissible match can span the gap.
+        conv_id = key[0]
+        out: list = []
+        if self._ctr.exists():
+            pos, next_allowed, _t = self._ctr.get()
+            buf = list(self._buf.get())
+            while buf:
+                a_pos = pos - len(buf) + 1
+                total = self._match_at(buf)
+                if total is not None and (
+                    not self.skip_past or a_pos >= next_allowed
+                ):
+                    self._emit(conv_id, buf, total, out)
+                    if self.skip_past:
+                        next_allowed = a_pos + total
+                buf.pop(0)
         self._ctr.clear()
         self._buf.clear()
-        return iter(())
+        if out:
+            yield pd.DataFrame(out)
 
     def close(self) -> None:
         pass
@@ -329,13 +412,12 @@ def match_sequence_stream(
     sees (idx, us, bits) only."""
     if mode not in ("all", "skip_past"):
         raise ValueError("match_sequence_stream: mode must be all|skip_past")
-    if any(getattr(s, "repeat", (1, 1)) != (1, 1) for s in steps):
-        raise NotImplementedError(
-            "match_sequence_stream: quantified steps (repeat != (1,1)) "
-            "are batch-only for now — greedy longest-match emission "
-            "needs a decision horizon of sum(hi) rows per anchor; use "
-            "operators.cep.match_sequence on a micro-batch/foreachBatch "
-            "view instead"
+    repeats = [getattr(s, "repeat", (1, 1)) for s in steps]
+    if any(r != (1, 1) for r in repeats) and ttl_s is None:
+        raise ValueError(
+            "match_sequence_stream: quantified steps need ttl_s — without "
+            "the flush timer a conversation's trailing sub-horizon matches "
+            "would wait forever on an unbounded stream (see SequenceMatcher)"
         )
     if not tws_available():
         raise NotImplementedError(
@@ -366,6 +448,7 @@ def match_sequence_stream(
             within_us=within_us,
             skip_past=(mode == "skip_past"),
             ttl_s=ttl_s,
+            repeats=repeats,
         ),
         outputStructType=SEQ_OUTPUT_SCHEMA,
         outputMode="Append",

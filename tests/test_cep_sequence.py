@@ -303,12 +303,16 @@ def test_match_sequence_quantifier_guards(spark):
         )
     from saber_spark.streaming.cep import match_sequence_stream
 
-    with pytest.raises(NotImplementedError, match="quantified"):
-        # quantified steps are batch-only on the streamed twin (checked
+    with pytest.raises(ValueError, match="ttl_s"):
+        # quantified steps on a stream need the flush timer (checked
         # before the protobuf environment gate)
         match_sequence_stream(
             df, [Step("a", "TRUE", repeat=(1, 2))], mode="all"
         )
+    with pytest.raises(ValueError):  # expansion blow-up, streamed twin
+        SequenceMatcher(5, repeats=[(1, 4)] * 5)
+    with pytest.raises(ValueError):  # repeats length mismatch
+        SequenceMatcher(2, repeats=[(1, 1)])
 
 
 # ---------------------------------------------------------------------------
@@ -415,6 +419,62 @@ def test_sequence_matcher_equals_batch(spark, mode):
     must emit exactly the batch operator's rows."""
     want = _rows(match_sequence(_df(spark), _STEPS, within_s=100, mode=mode))
     assert _drive(mode) == want
+
+
+def _bits_q(role: str, tool: str) -> int:
+    # bit-pack for _QSTEPS: step 0 = tool turn, step 1 = user turn
+    return (1 if tool != "" else 0) | (2 if role == "user" else 0)
+
+
+def _drive_quantified(mode: str) -> set:
+    """Fake-handle drive of the quantified matcher, including the ttl
+    flush that decides tail anchors still inside the decision horizon."""
+    per_key: dict = {}
+    emitted: list = []
+
+    def proc_for(conv):
+        if conv not in per_key:
+            p = SequenceMatcher(
+                2,
+                within_us=100 * 1_000_000,
+                skip_past=(mode == "skip_past"),
+                ttl_s=7200,
+                repeats=[(1, 2), (1, 1)],
+            )
+            h = _FakeHandle()
+            p.init(h)
+            per_key[conv] = (p, h)
+        return per_key[conv]
+
+    for chunk in _CHUNKS:
+        by_key: dict = {}
+        for c, i, r, tl, e in chunk:
+            by_key.setdefault(c, []).append((i, e * 1_000_000, _bits_q(r, tl)))
+        for conv, rows in by_key.items():
+            p, _h = proc_for(conv)
+            pdf = pd.DataFrame(rows, columns=["idx", "us", "bits"])
+            for out in p.handleInputRows((conv,), iter([pdf]), None):
+                emitted.extend(out.to_dict("records"))
+    for conv, (p, h) in per_key.items():  # silence: flush tail anchors
+        for out in p.handleExpiredTimer((conv,), None, None):
+            emitted.extend(out.to_dict("records"))
+        assert not h._states["ctr"].exists()
+    return {
+        (r["conv_id"], r["start_turn"], r["end_turn"], r["start_ts"], r["end_ts"])
+        for r in emitted
+    }
+
+
+@pytest.mark.parametrize("mode", ["all", "skip_past"])
+def test_sequence_matcher_quantified_equals_batch(spark, mode):
+    """Quantified streamed matcher == batch operator, cross-batch, both
+    modes — the horizon decision path plus the tail flush (convA's last
+    anchor and convB/convC's short matches only decide at flush)."""
+    want = _rows(
+        match_sequence(_df(spark), _QSTEPS, within_s=100, mode=mode)
+    )
+    assert _drive_quantified(mode) == want
+    assert len(want) > 0
 
 
 def test_sequence_matcher_ttl_frees_state():
