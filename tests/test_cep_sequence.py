@@ -491,6 +491,29 @@ def test_sequence_matcher_ttl_frees_state():
     assert list(h._states["buf"].get()) == []
 
 
+def test_sequence_matcher_single_step_arms_ttl_and_emits():
+    """maxlen == 1: every row decides immediately (buffer stays empty),
+    but the ttl timer must still arm from the last processed row so the
+    per-key counters of silent conversations are freed."""
+    p = SequenceMatcher(1, ttl_s=3600)
+    h = _FakeHandle()
+    p.init(h)
+    pdf = pd.DataFrame(
+        [(0, 1_000_000_000, 1), (1, 2_000_000_000, 0), (2, 3_000_000_000, 1)],
+        columns=["idx", "us", "bits"],
+    )
+    out = list(p.handleInputRows(("c",), iter([pdf]), None))
+    got = {
+        (r["start_turn"], r["end_turn"])
+        for o in out
+        for r in o.to_dict("records")
+    }
+    assert got == {(0, 0), (2, 2)}
+    assert h.timer is not None  # armed despite the empty trailing buffer
+    list(p.handleExpiredTimer(("c",), None, None))
+    assert not h._states["ctr"].exists()
+
+
 def test_sequence_matcher_guards():
     with pytest.raises(ValueError):
         SequenceMatcher(0)
