@@ -1210,6 +1210,119 @@ class IcebergTable:
             meta_update=record_sort_order,
         )
 
+    def rewrite_zorder(
+        self,
+        spark: SparkSession,
+        by: list[str],
+        bits: int = 6,
+        target_file_size_bytes: int = 128 * 1024 * 1024,
+    ) -> dict | None:
+        """Z-order clustering rewrite — RewriteDataFiles with the ZORDER
+        strategy. Linear sort (``rewrite_sorted``) gives tight per-file
+        bounds on the FIRST sort column and accidental bounds on the
+        rest; interleaving the bit patterns of per-column bucket ids
+        orders the table along a space-filling curve, so per-file min/max
+        bounds stay tight on EVERY z-column at once and
+        ``files(filters=…)`` prunes multi-column predicates that a linear
+        order cannot. BENCH/ICEBERG.md measures the difference.
+
+        Scale design: per-column bucket ids come from ONE distributed
+        pass — numeric/timestamp columns bucket by ``approxQuantile``
+        boundaries (2^bits-1 cuts, so skew cannot collapse the curve;
+        the boundary search is a broadcast O(2^bits) array filter inside
+        codegen), string columns by ``xxhash64 mod 2^bits`` — equal
+        values co-locate into ~1/2^bits of the files (tight dictionary /
+        row-group locality for equality scans), but lexicographic
+        min/max bounds over a hash bucket stay wide, so bound-PROVABLE
+        file pruning comes from the numeric/timestamp z-columns.
+        The interleave itself is shift/mask arithmetic — no UDF, no
+        window, no extra shuffle beyond the rewrite's own
+        ``repartitionByRange`` on the z-value. Commits one ``replace``
+        snapshot (rows unchanged — incremental/changelog consumers skip
+        it); like real Iceberg, z-order is a rewrite action, not a
+        recorded sort order. Returns None on an empty table."""
+        if not 1 <= bits <= 16:
+            raise ValueError("rewrite_zorder: bits must be in [1, 16]")
+        if len(by) < 2:
+            raise ValueError(
+                "rewrite_zorder: needs >= 2 columns (one column is a "
+                "plain sort — use rewrite_sorted)"
+            )
+        meta = self._read_metadata()
+        fields = {f["name"]: f for f in self._schema_fields(meta)}
+        missing = [c for c in by if c not in fields]
+        if missing:
+            raise ValueError(
+                f"rewrite_zorder: columns {missing} not in the current "
+                f"schema ({sorted(fields)})"
+            )
+        live = self._live_files(meta)
+        data = [d for d in live.values() if d.get("content", 0) == 0]
+        deletes = {p for p, d in live.items() if d.get("content", 0) == 1}
+        if not data:
+            return None
+        df = self._read_paths(
+            spark, meta, sorted(d["file_path"] for d in data), live=live
+        )
+        n_buckets = 1 << bits
+        numeric = [
+            c
+            for c in by
+            if fields[c]["type"]
+            in ("int", "long", "float", "double", "date", "timestamp", "timestamptz")
+        ]
+        probed = df.select(
+            *[
+                F.col(c).cast("double").alias(c)
+                if fields[c]["type"] not in ("timestamp", "timestamptz")
+                else F.col(c).cast("timestamp").cast("double").alias(c)
+                for c in numeric
+            ]
+        )
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = (
+            dict(zip(numeric, probed.approxQuantile(numeric, probs, 0.001)))
+            if numeric
+            else {}
+        )
+        bucket_cols = []
+        for c in by:
+            if c in cuts:
+                val = (
+                    F.col(c).cast("double")
+                    if fields[c]["type"] not in ("timestamp", "timestamptz")
+                    else F.col(c).cast("timestamp").cast("double")
+                )
+                bounds = F.array(*[F.lit(float(x)) for x in cuts[c]])
+                bucket = F.size(F.filter(bounds, lambda v: v <= val))
+            else:
+                bucket = F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)).cast("int")
+            bucket_cols.append(bucket)
+        z = F.lit(0).cast("long")
+        k = len(by)
+        for j in range(bits):
+            for i, bc in enumerate(bucket_cols):
+                z = z + (
+                    F.shiftright(bc, j).bitwiseAND(F.lit(1)).cast("long")
+                    * F.lit(1 << (j * k + i)).cast("long")
+                )
+        total = sum(d["file_size_in_bytes"] for d in data)
+        n_out = max(1, -(-total // target_file_size_bytes))
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        new_files = self._write_data_files(clustered, meta)
+        return self._rewrite_commit(
+            new_files,
+            {d["file_path"] for d in data},
+            "replace",
+            summary_extra={"saber.zorder-by": ",".join(by)},
+            known_delete_paths=deletes,
+        )
+
     @staticmethod
     def _evolved(base: dict, new_fields: list[dict], last_column_id=None) -> dict:
         """New metadata dict with ``new_fields`` appended as the current
@@ -1498,6 +1611,193 @@ class IcebergTable:
         if not paths:
             return spark.createDataFrame([], ddl)
         return spark.read.schema(ddl).parquet(*paths)
+
+    def _read_entries_with_pos(
+        self, spark: SparkSession, meta: dict, entries: list[dict]
+    ) -> DataFrame:
+        """``_read_data_entries`` variant that keeps each row's physical
+        address: CURRENT-schema columns plus ``(_fp, _pos)`` — the
+        (file path, row index) key position-delete files name. Groups by
+        writer schema-id for field-id resolution, same as the main read."""
+        cur = self._schema_fields(meta)
+        groups: dict[int, list[str]] = {}
+        for d in entries:
+            groups.setdefault(int(d.get("schema-id", 0)), []).append(d["file_path"])
+        fp = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        parts = []
+        for sid in sorted(groups):
+            wf = self._schema_fields(meta, sid)
+            rdf = (
+                spark.read.schema(_spark_ddl(wf))
+                .parquet(*sorted(groups[sid]))
+                .withColumn("_fp", fp)
+                .withColumn("_pos", F.col("_metadata.row_index"))
+            )
+            proj = _projection_to_current(wf, cur)
+            if proj is not None:
+                rdf = rdf.select(*proj, F.col("_fp"), F.col("_pos"))
+            parts.append(rdf)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def changes(
+        self, spark: SparkSession, from_snapshot_id=None, to_snapshot_id=None
+    ) -> DataFrame:
+        """Row-level CDC changelog over the half-open snapshot range
+        ``(from, to]`` — the from-scratch analogue of Iceberg's
+        ``create_changelog_view`` (spec v2 + Spark procedure semantics;
+        reference parity: Saber has no table format at all, this extends
+        the sink side of SURVEY.md §2.5). Every row each snapshot adds is
+        emitted as ``_change_type='insert'`` and every row it removes as
+        ``'delete'``, under the CURRENT schema, stamped with
+        ``_change_ordinal`` (position of the commit within the range) and
+        ``_commit_snapshot_id``. An upsert (``merge_into``) therefore
+        shows as delete(old row) + insert(new row) — the default
+        changelog form when no row-identifier fields are configured.
+
+        Exactness rules, one per storage subtlety:
+
+        - ``replace`` snapshots (compaction, sort-order clustering) move
+          bytes, never rows — they emit nothing.
+        - A data file removed by copy-on-write only announces its rows
+          that were still LIVE at the parent: position deletes already
+          covering it are applied to the removed-file read.
+        - A position-delete file that merely changed PATH because a later
+          rewrite trimmed it re-states old positions; new deletes at a
+          snapshot are the added delete-file rows anti-joined against the
+          previously-live delete set, so each deleted row is announced
+          exactly once across the whole history.
+
+        Unlike ``incremental`` (which refuses non-append history), this
+        read is the general-history primitive: it is how a downstream
+        consumer replays a table that takes deletes and merges. All
+        per-snapshot work is file-list diffing on the driver (bounded by
+        manifest size); row reads are distributed scans of exactly the
+        changed files."""
+        meta = self._read_metadata()
+        fields = self._schema_fields(meta)
+        cols = [f["name"] for f in fields]
+        clash = {"_change_type", "_change_ordinal", "_commit_snapshot_id"} & set(cols)
+        if clash:
+            raise ValueError(f"changes: schema already has {sorted(clash)}")
+        change_ddl = _spark_ddl(fields) + (
+            ", _change_type STRING, _change_ordinal INT,"
+            " _commit_snapshot_id BIGINT"
+        )
+        to_snap = self._snapshot(meta, to_snapshot_id)
+        if to_snap is None:
+            return spark.createDataFrame([], change_ddl)
+        from_seq = 0
+        if from_snapshot_id is not None and from_snapshot_id != -1:
+            from_seq = self._snapshot(meta, from_snapshot_id)["sequence-number"]
+        snaps = sorted(
+            (
+                s
+                for s in meta["snapshots"]
+                if from_seq < s["sequence-number"] <= to_snap["sequence-number"]
+            ),
+            key=lambda s: s["sequence-number"],
+        )
+        prev: dict[str, dict] = {}
+        if from_seq:
+            prev = {
+                d["file_path"]: d
+                for d in self._live_entries(from_snapshot_id, meta=meta)
+            }
+
+        def stamp(df: DataFrame, kind: str, ordinal: int, sid: int) -> DataFrame:
+            return df.select(
+                *cols,
+                F.lit(kind).alias("_change_type"),
+                F.lit(ordinal).cast("int").alias("_change_ordinal"),
+                F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+            )
+
+        parts: list[DataFrame] = []
+        for i, s in enumerate(snaps):
+            cur = {
+                d["file_path"]: d
+                for d in self._live_entries(s["snapshot-id"], meta=meta)
+            }
+            if s["summary"]["operation"] == "replace":
+                prev = cur
+                continue
+            sid = s["snapshot-id"]
+            added_data = [
+                d
+                for p, d in cur.items()
+                if d.get("content", 0) == 0 and p not in prev
+            ]
+            removed_data = [
+                d
+                for p, d in prev.items()
+                if d.get("content", 0) == 0 and p not in cur
+            ]
+            added_dels = [
+                d
+                for p, d in cur.items()
+                if d.get("content", 0) == 1 and p not in prev
+            ]
+            prev_del_paths = [
+                p for p, d in prev.items() if d.get("content", 0) == 1
+            ]
+            if added_data:
+                parts.append(
+                    stamp(
+                        self._read_data_entries(spark, meta, added_data),
+                        "insert", i, sid,
+                    )
+                )
+            if removed_data:
+                parts.append(
+                    stamp(
+                        self._read_data_entries(
+                            spark, meta, removed_data, prev_del_paths or None
+                        ),
+                        "delete", i, sid,
+                    )
+                )
+            if added_dels:
+                new_del = spark.read.parquet(
+                    *sorted(d["file_path"] for d in added_dels)
+                ).select(
+                    F.col("file_path").alias("_del_fp"),
+                    F.col("pos").alias("_del_pos"),
+                )
+                if prev_del_paths:
+                    old_del = spark.read.parquet(*sorted(prev_del_paths)).select(
+                        F.col("file_path").alias("_del_fp"),
+                        F.col("pos").alias("_del_pos"),
+                    )
+                    new_del = new_del.join(
+                        old_del, ["_del_fp", "_del_pos"], "left_anti"
+                    )
+                refs: set[str] = set()
+                for d in added_dels:
+                    refs |= set(d.get("referenced_data_files", []))
+                targets = [
+                    d
+                    for p, d in prev.items()
+                    if d.get("content", 0) == 0 and (not refs or p in refs)
+                ]
+                if targets:
+                    rows = self._read_entries_with_pos(spark, meta, targets)
+                    hit = rows.join(
+                        F.broadcast(new_del),
+                        (F.col("_fp") == F.col("_del_fp"))
+                        & (F.col("_pos") == F.col("_del_pos")),
+                        "inner",
+                    )
+                    parts.append(stamp(hit, "delete", i, sid))
+            prev = cur
+        if not parts:
+            return spark.createDataFrame([], change_ddl)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- maintenance / introspection ------------------------------------------------
 

@@ -1002,3 +1002,70 @@ def test_timestamp_columns_carry_manifest_bounds(spark):
         assert d["lower_bounds"]["ts"] <= d["upper_bounds"]["ts"]
     # and the bounds actually prune: a range beyond the data keeps nothing
     assert t.files(filters=[("ts", ">", "2999-01-01 00:00:00")]) == []
+
+
+def test_rewrite_zorder_multicolumn_pruning(spark):
+    """Z-order clustering prunes range predicates on BOTH z-columns,
+    where a linear sort only tightens bounds on its leading column.
+    Synthetic independent (x, y) grid so the contrast is deterministic."""
+    import math
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).cast("long").alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    loc_lin = _fresh("zorder_lin")
+    t_lin = IcebergTable.create(loc_lin, grid)
+    t_lin.append(grid)
+    t_lin.rewrite_sorted(spark, ["x"], target_file_size_bytes=1024)
+
+    loc_z = _fresh("zorder_z")
+    t_z = IcebergTable.create(loc_z, grid)
+    t_z.append(grid)
+    snap_before = t_z.current_snapshot_id()
+    assert t_z.rewrite_zorder(
+        spark, ["x", "y"], bits=6, target_file_size_bytes=1024
+    ) is not None
+
+    # rows untouched: replace snapshot, changelog + incremental skip it
+    assert t_z.snapshots()[-1]["summary"]["operation"] == "replace"
+    assert t_z.incremental(spark, from_snapshot_id=snap_before).count() == 0
+    assert t_z.changes(spark, from_snapshot_id=snap_before).count() == 0
+    got = {
+        (r["x"], r["y"], r["payload"]) for r in t_z.scan(spark).collect()
+    }
+    want = {(r["x"], r["y"], r["payload"]) for r in grid.collect()}
+    assert got == want
+
+    n_lin, n_z = len(t_lin.files()), len(t_z.files())
+    assert min(n_lin, n_z) >= 8, "need real file counts for a pruning test"
+    y_pred = [("y", ">=", 10), ("y", "<=", 12)]
+    x_pred = [("x", ">=", 10), ("x", "<=", 12)]
+    # leading-column pruning: both layouts prune x well
+    assert len(t_z.files(filters=x_pred)) < n_z
+    assert len(t_lin.files(filters=x_pred)) < n_lin
+    # second-dimension pruning: only the z-order layout can prove
+    # absence on y — the x-sorted layout's y bounds straddle everything
+    frac_lin = len(t_lin.files(filters=y_pred)) / n_lin
+    frac_z = len(t_z.files(filters=y_pred)) / n_z
+    assert frac_lin > 0.9, f"x-sorted layout unexpectedly pruned y ({frac_lin})"
+    assert frac_z < 0.6, f"z-order failed to prune y ({frac_z} of files kept)"
+    # pruned scan still returns exactly the matching rows
+    kept = t_z.scan(spark, filters=y_pred)
+    assert kept.count() == grid.where("y between 10 and 12").count()
+
+
+def test_rewrite_zorder_guards(spark):
+    grid = spark.range(16).select(
+        F.col("id").alias("x"), (F.col("id") * 2).alias("y")
+    )
+    loc = _fresh("zorder_guards")
+    t = IcebergTable.create(loc, grid)
+    t.append(grid)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        t.rewrite_zorder(spark, ["x"])
+    with pytest.raises(ValueError, match="bits"):
+        t.rewrite_zorder(spark, ["x", "y"], bits=0)
+    with pytest.raises(ValueError, match="not in the current schema"):
+        t.rewrite_zorder(spark, ["x", "zzz"])
