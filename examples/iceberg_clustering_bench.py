@@ -75,6 +75,51 @@ def main() -> None:
     }, flush=True)
     assert before["rows_matched"] == after["rows_matched"]
 
+    # -- z-order vs linear sort: the pruning-balance trade --------------------
+    # Three predicate shapes against both clustered layouts. A linear ts
+    # sort concentrates ALL pruning power in ts; z-order spreads it
+    # across both dimensions. Expect: linear wins tight ts-only slices,
+    # z-order wins second-dimension-only and mixed-moderate queries.
+    w_lo = lo + type(hi - lo)(seconds=span * 0.40)
+    w_hi = lo + type(hi - lo)(seconds=span * 0.60)
+    fmt = lambda d: d.strftime("%Y-%m-%d %H:%M:%S")  # noqa: E731
+    preds = {
+        "ts 2% slice": filt,
+        "turn_idx 10..20 only": [("turn_idx", ">=", 10), ("turn_idx", "<=", 20)],
+        "ts 20% AND turn_idx 10..20": [
+            ("ts", ">=", fmt(w_lo)), ("ts", "<=", fmt(w_hi)),
+            ("turn_idx", ">=", 10), ("turn_idx", "<=", 20),
+        ],
+    }
+
+    def probe_preds(layout: str) -> dict:
+        allf = table.files()
+        total_b = sum(d["file_size_in_bytes"] for d in allf)
+        out = {}
+        for tag, fl in preds.items():
+            kept = table.files(filters=fl)
+            rows = table.scan(spark, filters=fl).count()
+            out[tag] = {
+                "files": f"{len(kept)}/{len(allf)}",
+                "bytes_pct": round(
+                    100 * sum(d["file_size_in_bytes"] for d in kept) / total_b, 2
+                ),
+                "rows": rows,
+            }
+        print({layout: out}, flush=True)
+        return out
+
+    lin = probe_preds("linear rewrite_sorted(by=[ts])")
+    t0 = time.perf_counter()
+    table.rewrite_zorder(
+        spark, by=["ts", "turn_idx"], target_file_size_bytes=max(1, total // 32)
+    )
+    z_sec = round(time.perf_counter() - t0, 3)
+    zed = probe_preds("rewrite_zorder(by=[ts, turn_idx])")
+    print({"zorder_rewrite_sec": z_sec}, flush=True)
+    for tag in preds:
+        assert lin[tag]["rows"] == zed[tag]["rows"], tag
+
 
 if __name__ == "__main__":
     main()

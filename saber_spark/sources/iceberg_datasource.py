@@ -215,16 +215,21 @@ class IcebergBatchReader(DataSourceReader):
         # delete sets — pinned to a single snapshot by construction
         meta = table._read_metadata()
         entries = table._live_entries(self.snapshot_id, self.as_of_ms, meta=meta)
-        spec = {
-            f["source-name"]: f for f in table._partition_fields(meta)
-        }
+        specs = table._spec_maps(meta)  # per-file spec after evolution
         from saber_spark.sources.iceberg_format import _pruned
 
         files = [
             d
             for d in entries
             if d.get("content", 0) == 0
-            and not (self.pruning_filters and _pruned(d, self.pruning_filters, spec))
+            and not (
+                self.pruning_filters
+                and _pruned(
+                    d,
+                    self.pruning_filters,
+                    specs.get(int(d.get("spec-id", 0)), {}),
+                )
+            )
         ]
         # merge-on-read: hand each partition exactly the delete files
         # that reference it (referenced_data_files from the manifest), so

@@ -368,6 +368,16 @@ class IcebergTable:
             s["fields"] for s in meta["partition-specs"] if s["spec-id"] == spec_id
         )
 
+    @staticmethod
+    def _spec_maps(meta: dict) -> dict[int, dict[str, dict]]:
+        """{spec-id: {source-name: partition field}} for EVERY spec the
+        table has ever had — after partition evolution a scan judges each
+        file's partition values under the spec that wrote it."""
+        return {
+            s["spec-id"]: {f["source-name"]: f for f in s["fields"]}
+            for s in meta["partition-specs"]
+        }
+
     def _schema_fields(self, meta: dict, schema_id: int | None = None) -> list[dict]:
         sid = meta["current-schema-id"] if schema_id is None else schema_id
         for s in meta["schemas"]:
@@ -467,6 +477,10 @@ class IcebergTable:
                         "file_path": dst,
                         "file_format": "PARQUET",
                         "partition": part_vals,
+                        # partition spec the values were derived under —
+                        # after partition evolution, pruning must judge
+                        # each file by ITS spec, not the current default
+                        "spec-id": meta["default-spec-id"],
                         # writer schema: rename/drop evolution resolves
                         # columns by field id through this (entries that
                         # predate the stamp default to schema 0, which is
@@ -603,6 +617,7 @@ class IcebergTable:
                 "file_path": p,
                 "file_format": "PARQUET",
                 "partition": {},
+                "spec-id": meta["default-spec-id"],
                 # imported files match the CURRENT schema by contract —
                 # stamp it, or a later rename would resolve them through
                 # schema 0 and silently null the renamed columns
@@ -1381,7 +1396,11 @@ class IcebergTable:
                 raise ValueError(f"no such column {old!r}")
             if new in names:
                 raise ValueError(f"column {new!r} already exists")
-            if any(pf["source-name"] == old for pf in self._partition_fields(base)):
+            if any(
+                pf["source-name"] == old
+                for s in base["partition-specs"]
+                for pf in s["fields"]
+            ):  # ANY spec: old files still prune under the spec that wrote them
                 raise ValueError(
                     f"{old!r} is a partition source column — rename is not "
                     "supported for partition sources in this format"
@@ -1405,7 +1424,11 @@ class IcebergTable:
                 raise ValueError(f"no such column {name!r}")
             if len(fields) == 1:
                 raise ValueError("cannot drop the only column")
-            if any(pf["source-name"] == name for pf in self._partition_fields(base)):
+            if any(
+                pf["source-name"] == name
+                for s in base["partition-specs"]
+                for pf in s["fields"]
+            ):  # ANY spec, not just the default (see rename_column)
                 raise ValueError(
                     f"{name!r} is a partition source column — drop the "
                     "partition spec first"
@@ -1413,6 +1436,90 @@ class IcebergTable:
             return self._evolved(
                 base, [f for f in fields if f["name"] != name]
             )
+
+        return self._commit(build)
+
+    def update_partition_spec(
+        self, partition_by: list[tuple[str, str]]
+    ) -> dict:
+        """Partition evolution (spec §Partition Evolution): switch the
+        table's DEFAULT partition spec without rewriting a single data
+        file. ``partition_by``: [(source_column, transform)], same forms
+        as ``create``; ``[]`` makes the table unpartitioned for new
+        writes. Existing files keep their layout and their original
+        spec-id — the read path judges every file's partition values
+        under the spec that wrote it (``_spec_maps``), so pruning stays
+        exact across the boundary: old-spec predicates keep pruning old
+        files, new-spec predicates prune new files, and a file whose spec
+        lacks the predicate column is conservatively kept. A later
+        ``rewrite_data_files`` / ``rewrite_sorted`` / ``rewrite_zorder``
+        migrates old files to the new layout as a side effect (rewrites
+        always write under the current default spec).
+
+        Field-id stability per the spec: a (source column, transform)
+        pair that appeared in ANY earlier spec keeps its partition
+        field-id; genuinely new fields get fresh ids above
+        ``last-partition-id``. If the requested spec matches an existing
+        one field-for-field, the default simply switches back to it (no
+        duplicate spec entry). Metadata-only optimistic commit — no
+        snapshot, concurrent appends land on whichever spec their writer
+        read, which is exactly Iceberg's behavior."""
+
+        def build(base: dict) -> dict:
+            by_name = {f["name"]: f["id"] for f in self._schema_fields(base)}
+            missing = [c for c, _t in partition_by if c not in by_name]
+            if missing:
+                raise ValueError(
+                    f"update_partition_spec: source columns {missing} not "
+                    f"in the current schema ({sorted(by_name)})"
+                )
+            prior = {}  # (source-id, transform) -> existing field-id
+            for s in base["partition-specs"]:
+                for f in s["fields"]:
+                    prior.setdefault((f["source-id"], f["transform"]), f["field-id"])
+            last_id = base.get("last-partition-id", 999)
+            fields = []
+            for col, tr in partition_by:
+                key = (by_name[col], tr)
+                fid = prior.get(key)
+                if fid is None:
+                    last_id += 1
+                    fid = last_id
+                fields.append(
+                    {
+                        "name": col
+                        if tr == "identity"
+                        else f"{col}_{tr.split('[')[0]}",
+                        "source-id": by_name[col],
+                        "source-name": col,
+                        "transform": tr,
+                        "field-id": fid,
+                    }
+                )
+            shape = lambda fs: [  # noqa: E731
+                (f["source-id"], f["transform"]) for f in fs
+            ]
+            new = dict(base)
+            match = next(
+                (
+                    s
+                    for s in base["partition-specs"]
+                    if shape(s["fields"]) == shape(fields)
+                ),
+                None,
+            )
+            if match is not None:
+                new["default-spec-id"] = match["spec-id"]
+                return new
+            sid = max(s["spec-id"] for s in base["partition-specs"]) + 1
+            new["partition-specs"] = base["partition-specs"] + [
+                {"spec-id": sid, "fields": fields}
+            ]
+            new["default-spec-id"] = sid
+            new["last-partition-id"] = max(
+                base.get("last-partition-id", 999), last_id
+            )
+            return new
 
         return self._commit(build)
 
@@ -1472,12 +1579,13 @@ class IcebergTable:
         PROVE no row matches), exactly manifest-level pruning. Position-
         delete files (content=1) are excluded — use ``delete_files``."""
         meta = self._read_metadata()
-        spec = {f["source-name"]: f for f in self._partition_fields(meta)}
+        specs = self._spec_maps(meta)
         nmaps = _bound_name_maps(meta) if filters else None
         out = []
         for d in self._live_entries(snapshot_id, as_of_ms):
             if d.get("content", 0) != 0:
                 continue
+            spec = specs.get(int(d.get("spec-id", 0)), {})
             if filters and _pruned(d, filters, spec, nmaps):
                 continue
             out.append(d)
@@ -1510,13 +1618,18 @@ class IcebergTable:
         if snap is None:
             return spark.createDataFrame([], ddl)
         entries = self._live_entries(snap["snapshot-id"], meta=meta)
-        spec = {f["source-name"]: f for f in self._partition_fields(meta)}
+        specs = self._spec_maps(meta)
         nmaps = _bound_name_maps(meta) if filters else None
         files = [
             d
             for d in entries
             if d.get("content", 0) == 0
-            and not (filters and _pruned(d, filters, spec, nmaps))
+            and not (
+                filters
+                and _pruned(
+                    d, filters, specs.get(int(d.get("spec-id", 0)), {}), nmaps
+                )
+            )
         ]
         if not files:
             return spark.createDataFrame([], ddl)

@@ -1069,3 +1069,65 @@ def test_rewrite_zorder_guards(spark):
         t.rewrite_zorder(spark, ["x", "y"], bits=0)
     with pytest.raises(ValueError, match="not in the current schema"):
         t.rewrite_zorder(spark, ["x", "zzz"])
+
+
+def test_partition_evolution_per_file_spec_pruning(spark):
+    """After update_partition_spec, old files keep pruning under the
+    spec that wrote them, new files under the new spec, and scans stay
+    exact across the boundary."""
+    loc = _fresh("spec_evolution")
+    a, b = _turns(spark, 0), _turns(spark, 4)
+    t = IcebergTable.create(loc, a, partition_by=[("role", "identity")])
+    t.append(a)
+    old_files = t.files()
+    assert all(int(d.get("spec-id", 0)) == 0 for d in old_files)
+    # identity pruning works on the original spec
+    n_user_old = len(t.files(filters=[("role", "=", "user")]))
+    assert 0 < n_user_old < len(old_files)
+
+    t.update_partition_spec([("tool", "identity")])
+    t.append(b)
+    all_files = t.files()
+    new_files = [d for d in all_files if int(d.get("spec-id", 0)) == 1]
+    assert new_files and len(all_files) > len(old_files)
+    assert all("tool" in d["partition"] for d in new_files)
+
+    # a role predicate still prunes the OLD files by partition value;
+    # NEW files are judged only by column bounds (conservative)
+    kept = t.files(filters=[("role", "=", "user")])
+    old_kept = [d for d in kept if int(d.get("spec-id", 0)) == 0]
+    assert len(old_kept) == n_user_old
+    # scan correctness across mixed specs
+    full = t.scan(spark)
+    assert full.count() == a.count() + b.count()
+    assert (
+        t.scan(spark, filters=[("role", "=", "user")]).count()
+        == full.where(F.col("role") == "user").count()
+    )
+
+    # compaction migrates everything to the current default spec
+    t.rewrite_data_files(spark, min_input_files=2)
+    assert all(int(d.get("spec-id", 0)) == 1 for d in t.files())
+    assert t.scan(spark).count() == a.count() + b.count()
+
+
+def test_partition_evolution_spec_and_field_id_reuse(spark):
+    loc = _fresh("spec_reuse")
+    a = _turns(spark, 0)
+    t = IcebergTable.create(loc, a, partition_by=[("role", "identity")])
+    t.update_partition_spec([("tool", "identity")])
+    t.update_partition_spec([("role", "identity")])  # back: no new spec
+    meta = t._read_metadata()
+    assert len(meta["partition-specs"]) == 2
+    assert meta["default-spec-id"] == 0
+    t.update_partition_spec([("role", "identity"), ("tool", "identity")])
+    meta = t._read_metadata()
+    both = next(s for s in meta["partition-specs"] if s["spec-id"] == 2)
+    fids = {f["source-name"]: f["field-id"] for f in both["fields"]}
+    assert fids == {"role": 1000, "tool": 1001}  # ids stable across specs
+    with pytest.raises(ValueError, match="not in the current schema"):
+        t.update_partition_spec([("nope", "identity")])
+    # a column referenced by ANY historical spec refuses to drop
+    t.update_partition_spec([])
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_column("tool")
