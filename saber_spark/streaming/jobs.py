@@ -207,3 +207,65 @@ def streaming_exact_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash", *extra_keys]
     )
+
+
+def streaming_windowed_sketches(
+    stream: DataFrame,
+    wd: WindowDef,
+    distinct_col: str,
+    quantile_col: str | None = None,
+    probabilities: Sequence[float] = (0.5, 0.95, 0.99),
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    rsd: float = 0.05,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Streamed twin of the batch sketch layer (operators/sketches.py):
+    per event-time window (and optional keys), a HyperLogLog++ distinct
+    count of ``distinct_col`` plus optional approximate quantiles of
+    ``quantile_col`` — the monitoring-dashboard aggregate over an
+    unbounded transcript stream (distinct conversations per minute,
+    latency percentiles per window) that an exact COUNT(DISTINCT) or
+    sort-based percentile cannot provide without unbounded state.
+
+    Both sketches are Spark imperative aggregates with mergeable
+    buffers, so they run natively inside the streaming state store: the
+    per-window state is ONE fixed-size HLL register set / GK summary,
+    merged map-side across micro-batches and evicted when the watermark
+    passes window end — exactly the bounded-state contract the exact
+    aggregates in streaming_windowed_aggregate have. HLL register merge
+    is max(), hence order-independent: the streamed count equals the
+    batch sketch on the same rows bit-for-bit (asserted in tests); GK
+    summaries are merge-order sensitive, so quantiles carry the usual
+    rank-error bound rather than equality.
+    """
+    if wd.kind != RANGE:
+        raise ValueError("streaming_windowed_sketches: event-time windows only")
+    if not (0.0 < rsd < 1.0):
+        raise ValueError("streaming_windowed_sketches: rsd must be in (0, 1)")
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    aggs = [
+        F.approx_count_distinct(distinct_col, rsd=rsd).alias("approx_distinct")
+    ]
+    if quantile_col is not None:
+        aggs.append(
+            F.percentile_approx(
+                F.col(quantile_col).cast("double"),
+                F.array(*[F.lit(float(p)) for p in probabilities]),
+                F.lit(accuracy),
+            ).alias("quantiles")
+        )
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(wd.range_window_col(ts_col).alias("window"),
+                 *[F.col(k) for k in keys])
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("window.start").cast("timestamp").cast("long").alias("window_start"),
+        F.col("window.end").cast("timestamp").cast("long").alias("window_end"),
+        *keys,
+        *[c for c in ("approx_distinct", "quantiles")
+          if quantile_col is not None or c == "approx_distinct"],
+    )

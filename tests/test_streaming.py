@@ -930,3 +930,81 @@ def test_streaming_ivf_topk_matches_batch(spark):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     finally:
         q.stop()
+
+
+def test_streaming_windowed_sketches_parity(spark, stream_dir):
+    """HLL register merge is order-independent: the streamed windowed
+    approx-distinct equals the batch sketch on the same rows exactly,
+    and the streamed quantiles stay within the sketch's rank-error
+    bound of the exact batch percentiles."""
+    from saber_spark.streaming.jobs import streaming_windowed_sketches
+
+    shutil.rmtree(os.path.join(TMP, "ckpt_sk"), ignore_errors=True)
+    stream = _read_stream(spark, stream_dir, max_files_per_trigger=2)
+    wd = WindowDef(RANGE, 3600)
+    out = streaming_windowed_sketches(
+        stream, wd, distinct_col="conv_id",
+        quantile_col="text_len", probabilities=(0.5, 0.9),
+        watermark="0 seconds",
+    )
+    q = _run_to_memory(out, "sk", "append")
+    try:
+        # arrays (quantiles) are unsortable/unhashable in pandas — key
+        # the comparison on the window bounds instead of _norm
+        got = (
+            spark.sql("select * from sk")
+            .toPandas()
+            .sort_values(["window_start", "window_end"])
+            .reset_index(drop=True)
+        )
+        batch = transcripts(spark, SF_SMOKE).withColumn(
+            "text_len", F.length("text").cast("long")
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        want_df = (
+            batch.groupBy(wd.range_window_col("ts").alias("window"))
+            .agg(
+                F.approx_count_distinct("conv_id", rsd=0.05).alias(
+                    "approx_distinct"
+                ),
+                F.percentile_approx(
+                    F.col("text_len").cast("double"),
+                    F.array(F.lit(0.5), F.lit(0.9)),
+                    F.lit(10_000),
+                ).alias("exact_q"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                F.col("window.start").cast("timestamp").cast("long")
+                .alias("window_start"),
+                F.col("window.end").cast("timestamp").cast("long")
+                .alias("window_end"),
+                "approx_distinct", "exact_q", "n",
+            )
+        )
+        max_ts = batch.agg(
+            F.max(F.col("ts").cast("timestamp").cast("long"))
+        ).first()[0]
+        want = (
+            want_df.toPandas()
+            .query("window_end <= @max_ts")  # last window never closes
+            .sort_values(["window_start", "window_end"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        merged = got.merge(
+            want, on=["window_start", "window_end"], suffixes=("", "_b")
+        )
+        assert len(merged) == len(want)
+        # HLL: bit-for-bit equality with the batch sketch
+        assert (
+            merged["approx_distinct"] == merged["approx_distinct_b"]
+        ).all()
+        # quantiles: with accuracy=10000 and windows far smaller than
+        # that, the GK summaries never compress, so the streamed merge
+        # holds the same multiset as the batch sketch — identical picks
+        for _, r in merged.iterrows():
+            for qi in range(2):
+                approx, exact = r["quantiles"][qi], r["exact_q"][qi]
+                assert approx == exact, (r["window_start"], qi, approx, exact)
+    finally:
+        q.stop()
