@@ -191,33 +191,45 @@ sv AS (SELECT doc_id, {sig_terms} AS simhash FROM votes)
 
 
 # (Per-doc simhash signatures are not a separate registry entry: the
-# pairs oracle below recomputes every signature from scratch in SQL, so
-# the signature construction is value-checked through it — registry
-# consolidated to 50 driver-checked entries, VERDICT r2 item 1.)
-
-# band join is exact for hamming<=3 (pigeonhole over 4 bands), so the
-# oracle can be the plain all-pairs hamming predicate.
-_SIMHASH_PAIRS_ORACLE = f"""
-WITH {_W}, {_simhash_sql_cte()}
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sv a JOIN sv b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-"""
+# strategies oracle below recomputes every signature from scratch in
+# SQL, so the signature construction is value-checked through it —
+# registry consolidated to 50 driver-checked entries, VERDICT r2 item 1.
+# The band join is exact for hamming<=3 by pigeonhole over 4 bands, so
+# the oracle can be the plain all-pairs hamming predicate.)
 
 
-@register("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # driver coverage via dedup_simhash_strategies (part='pair'); kept
+    # exported for the plan-quality suite (r4 registry consolidation)
     return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
-# Connected components over the near-dup graph: pairs chain (A~B~C with
-# A≁C), so canonical-doc selection needs the transitive closure. Oracle =
-# recursive CTE computing min reachable id (terminates: UNION dedupes).
-_COMPONENTS_ORACLE = f"""
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: SimHash near-dup pairs → connected
+    components (distributed min-label propagation, operators/dedup.py)
+    → every doc labeled with its cluster's min doc id (singletons label
+    themselves). The canonical-doc-per-cluster step of a real dedup
+    pipeline, checked against a recursive-CTE transitive closure.
+    Driver coverage via dedup_simhash_strategies (part='component')."""
+    docs = _docs(spark, sf_dir)
+    pairs = dd.simhash_pairs(docs, max_hamming=3)
+    comps = dd.connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return docs.select("doc_id").join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).cast("long").alias("component_id"),
+    )
+
+
+# The pairs entry is a strict prefix of the components entry (same band
+# join; components adds the transitive closure), so the two share one
+# part-tagged driver row — r4 consolidation freeing a registry slot for
+# iceberg_changelog while keeping BOTH value checks: hamming distances
+# row-for-row AND cluster labels against the recursive-CTE closure.
+_SIMHASH_STRATEGIES_ORACLE = f"""
 WITH RECURSIVE {_W}, {_simhash_sql_cte()},
 prs AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sv a JOIN sv b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ),
@@ -228,25 +240,42 @@ reach(node, label) AS (
     UNION
     SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
 )
-SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+SELECT 'pair' AS part, id_a AS a, id_b AS b,
+       CAST(hamming AS BIGINT) AS metric
+FROM prs
+UNION ALL
+SELECT 'component', node, CAST(min(label) AS BIGINT), NULL
 FROM reach GROUP BY node
 """
 
 
-@register("dedup_components", _COMPONENTS_ORACLE)
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment: SimHash near-dup pairs → connected
-    components (distributed min-label propagation, operators/dedup.py)
-    → every doc labeled with its cluster's min doc id (singletons label
-    themselves). The canonical-doc-per-cluster step of a real dedup
-    pipeline, checked against a recursive-CTE transitive closure."""
+@register("dedup_simhash_strategies", _SIMHASH_STRATEGIES_ORACLE)
+def dedup_simhash_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection end to end, part-tagged in one row:
+    'pair' = banded hamming<=3 candidate pairs with their distances
+    (exact by pigeonhole over 4x15-bit bands), 'component' = every doc
+    labeled with its duplicate-cluster's min doc id via distributed
+    min-label propagation (operators/dedup.py)."""
     docs = _docs(spark, sf_dir)
     pairs = dd.simhash_pairs(docs, max_hamming=3)
     comps = dd.connected_components(pairs).withColumnRenamed("node", "doc_id")
-    return docs.select("doc_id").join(comps, "doc_id", "left").select(
+    labeled = docs.select("doc_id").join(comps, "doc_id", "left").select(
         "doc_id",
         F.coalesce("component_id", F.col("doc_id")).cast("long").alias("component_id"),
     )
+    p = pairs.select(
+        F.lit("pair").alias("part"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").cast("long").alias("metric"),
+    )
+    c = labeled.select(
+        F.lit("component").alias("part"),
+        F.col("doc_id").alias("a"),
+        F.col("component_id").alias("b"),
+        F.lit(None).cast("long").alias("metric"),
+    )
+    return p.unionByName(c)
 
 
 # Deterministic role-stratified sampling (SFT-mix construction): a row is

@@ -915,3 +915,56 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part string, window_start long, window_end long, n_turns long, sum_len long",
     )
     return kept.unionByName(audit)
+
+
+# Row-level CDC over the from-scratch Iceberg format: two appends then a
+# merge-on-read DELETE; changes(None -> current) must announce every
+# appended row as an insert stamped with its commit ordinal and exactly
+# the deleted rows as deletes. The oracle reproduces the event multiset
+# from the same transcripts derivation — commit ordinals are fixed by
+# the staged history (append 0, append 1, delete 2).
+_CHANGELOG_ORACLE = with_transcripts_oracle("""
+, base AS (SELECT conv_id, turn_idx, role, tool FROM transcripts
+           WHERE turn_idx < 8)
+SELECT conv_id, turn_idx, role, tool,
+       'insert' AS change_type,
+       CAST(CASE WHEN turn_idx < 4 THEN 0 ELSE 1 END AS INTEGER)
+           AS change_ordinal
+FROM base
+UNION ALL
+SELECT conv_id, turn_idx, role, tool,
+       'delete' AS change_type,
+       CAST(2 AS INTEGER) AS change_ordinal
+FROM base WHERE tool = 'code'
+""")
+
+
+@register("iceberg_changelog", _CHANGELOG_ORACLE)
+def iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog scan of the Iceberg layer, driver-checked end to
+    end: stage a transcript table with two append snapshots, apply a
+    merge-on-read DELETE (position-delete file, no data file touched),
+    then read ``changes()`` over the whole history — the general-history
+    replay primitive a downstream consumer uses where ``incremental``
+    refuses non-append tables (sources/iceberg_format.py::changes;
+    MoR/trim/compaction exactness rules in its docstring, every-pair
+    reconstruction property in tests/test_iceberg_changelog.py).
+    Reference analogue: none — Saber persists no tables; this is the
+    sink side of SURVEY.md §2.5 extended to spec-v2 CDC."""
+    from saber_spark.sources.iceberg_format import IcebergTable
+
+    t = transcripts(spark, sf_dir).where(F.col("turn_idx") < 8)
+    loc = os.path.join(_TMP, "driver_stream", "cdc_table")
+    shutil.rmtree(loc, ignore_errors=True)
+    tbl = IcebergTable.create(loc, t)
+    tbl.append(t.where(F.col("turn_idx") < 4))
+    tbl.append(t.where(F.col("turn_idx") >= 4))
+    tbl.delete_where(spark, [("tool", "=", "code")], mode="merge-on-read")
+    return tbl.changes(spark).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_ordinal").alias("change_ordinal"),
+    )
