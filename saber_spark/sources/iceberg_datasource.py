@@ -91,6 +91,37 @@ class FilePartition(InputPartition):
     absent: tuple = ()
 
 
+@dataclass
+class ChangePartition(InputPartition):
+    """One CDC read task of the changelog stream (mode='changelog').
+
+    ``kind``:
+      'insert'     — every row of ``file_path`` (a data file ADDED by
+                     the snapshot) is an insert event.
+      'delete-file'— every row of ``file_path`` (a data file REMOVED by
+                     a copy-on-write snapshot) still live at the parent
+                     is a delete event; ``delete_paths`` carries the
+                     parent's position-delete files so rows already dead
+                     via merge-on-read are not re-announced.
+      'delete-pos' — a merge-on-read delete landed on ``file_path``:
+                     the delete events are the rows at positions named
+                     by ``delete_paths`` (delete files ADDED by the
+                     snapshot) minus positions in ``prior_delete_paths``
+                     (delete files live before — a TRIMMED carry
+                     re-states old positions and must not re-announce).
+
+    ``ordinal``/``snapshot_id`` stamp the emitted rows' CDC columns."""
+
+    kind: str
+    file_path: str
+    delete_paths: tuple = ()
+    prior_delete_paths: tuple = ()
+    renames: tuple = ()
+    absent: tuple = ()
+    ordinal: int = 0
+    snapshot_id: int = 0
+
+
 _OPS = {
     EqualTo: "=",
     GreaterThan: ">",
@@ -184,6 +215,66 @@ def _read_file_batches(
     # select() reorders: null-fills append at the end, but cast() matches
     # positionally (a dropped-then-added middle column would misalign)
     yield from table.select(arrow_schema.names).cast(arrow_schema).to_batches()
+
+
+def _positions_in(delete_paths, path: str):
+    """Distinct positions the given position-delete files name for ONE
+    data file (executor-side, pyarrow)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if not delete_paths:
+        return None
+    dels = pa.concat_tables(
+        [pq.read_table(p, columns=["file_path", "pos"]) for p in delete_paths]
+    )
+    mine = dels.filter(pc.equal(dels.column("file_path"), path))
+    return np.unique(mine.column("pos").to_numpy(zero_copy_only=False))
+
+
+def _read_deleted_rows(
+    path: str, arrow_schema, new_dels, prior_dels, renames=(), absent=()
+) -> Iterator:
+    """Executor-side CDC delete resolution: the rows of ``path`` at
+    positions named by ``new_dels`` minus positions already named by
+    ``prior_dels`` (a trimmed delete carry re-states old positions —
+    subtracting the prior set keeps every delete announced exactly
+    once). Reuses the schema-resolved full read, then takes positions."""
+    import numpy as np
+    import pyarrow as pa
+
+    new_pos = _positions_in(new_dels, path)
+    if new_pos is None or not len(new_pos):
+        return
+    prior_pos = _positions_in(prior_dels, path)
+    if prior_pos is not None:
+        new_pos = np.setdiff1d(new_pos, prior_pos)
+    if not len(new_pos):
+        return
+    batches = list(
+        _read_file_batches(path, arrow_schema, (), renames, absent)
+    )
+    table = pa.Table.from_batches(batches, schema=arrow_schema)
+    yield from table.take(new_pos).to_batches()
+
+
+def _with_cdc_columns(batches: Iterator, kind: str, ordinal: int, sid: int):
+    """Append the constant CDC columns to each Arrow batch."""
+    import pyarrow as pa
+
+    for b in batches:
+        n = b.num_rows
+        t = pa.Table.from_batches([b])
+        t = t.append_column("_change_type", pa.array([kind] * n, pa.string()))
+        t = t.append_column(
+            "_change_ordinal", pa.array([ordinal] * n, pa.int32())
+        )
+        t = t.append_column(
+            "_commit_snapshot_id", pa.array([sid] * n, pa.int64())
+        )
+        yield from t.to_batches()
 
 
 class IcebergBatchReader(DataSourceReader):
@@ -334,6 +425,167 @@ class IcebergStreamReader(DataSourceStreamReader):
         return
 
 
+CDC_COLS = ("_change_type", "_change_ordinal", "_commit_snapshot_id")
+
+
+class IcebergChangelogStreamReader(IcebergStreamReader):
+    """mode='changelog': the CDC stream of the table — every snapshot in
+    the micro-batch's sequence range becomes its row-level insert/delete
+    events (IcebergTable.changes semantics, planned as per-file executor
+    tasks instead of a driver-side DataFrame union). Where the append
+    stream REFUSES non-append history (a delete in range would be silent
+    data loss for an append consumer), the changelog stream is how a
+    downstream consumer correctly tails a table that takes deletes,
+    merges, and compactions:
+
+    - append snapshot      → added files read as 'insert' events
+    - merge-on-read delete → 'delete-pos' tasks resolve the new position
+                             deletes to rows (minus prior-named
+                             positions, so trimmed carries never
+                             re-announce)
+    - copy-on-write delete / MERGE / overwrite
+                           → removed files read as 'delete' events (with
+                             the parent's MoR deletes applied), added
+                             files as 'insert' events
+    - replace (compaction/clustering) → nothing: bytes move, rows don't
+
+    Offsets are the same snapshot sequence numbers as the append stream,
+    so a range always resolves to the same events (snapshots are
+    immutable) — exactly-once across restarts from the query checkpoint.
+    Ordinals restart per micro-batch (they order commits WITHIN a
+    batch); ``_commit_snapshot_id`` is the stable cross-batch identity.
+    """
+
+    def __init__(self, location: str, options: dict, schema: "StructType"):
+        from pyspark.sql.types import StructType
+
+        data_fields = [f for f in schema.fields if f.name not in CDC_COLS]
+        super().__init__(location, options, StructType(data_fields))
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        table = IcebergTable(self.location)
+        meta = table._read_metadata()
+        snaps = sorted(
+            (
+                s
+                for s in meta["snapshots"]
+                if start["seq"] < s["sequence-number"] <= end["seq"]
+            ),
+            key=lambda s: s["sequence-number"],
+        )
+        prev: dict[str, dict] = {}
+        if start["seq"]:
+            base = next(
+                s
+                for s in meta["snapshots"]
+                if s["sequence-number"] == start["seq"]
+            )
+            prev = {
+                d["file_path"]: d
+                for d in table._live_entries(base["snapshot-id"], meta=meta)
+            }
+        res_cache: dict[int, tuple] = {}
+
+        def res(d: dict) -> tuple:
+            sid = int(d.get("schema-id", 0))
+            if sid not in res_cache:
+                res_cache[sid] = _resolution(table, meta, sid)
+            return res_cache[sid]
+
+        parts: list[ChangePartition] = []
+        for i, s in enumerate(snaps):
+            cur = {
+                d["file_path"]: d
+                for d in table._live_entries(s["snapshot-id"], meta=meta)
+            }
+            if s["summary"]["operation"] == "replace":
+                prev = cur
+                continue
+            sid = s["snapshot-id"]
+            prev_dels = tuple(
+                sorted(
+                    p for p, d in prev.items() if d.get("content", 0) == 1
+                )
+            )
+            new_dels = tuple(
+                sorted(
+                    p
+                    for p, d in cur.items()
+                    if d.get("content", 0) == 1 and p not in prev
+                )
+            )
+            for p, d in cur.items():
+                if d.get("content", 0) == 0 and p not in prev:
+                    parts.append(
+                        ChangePartition("insert", p, (), (), *res(d), i, sid)
+                    )
+            refs: set[str] = set()
+            if new_dels:
+                for p in new_dels:
+                    refs |= set(
+                        cur[p].get("referenced_data_files", [])
+                    ) or set(
+                        q
+                        for q, dd in prev.items()
+                        if dd.get("content", 0) == 0
+                    )
+            for p, d in prev.items():
+                if d.get("content", 0) != 0:
+                    continue
+                if p not in cur:
+                    parts.append(
+                        ChangePartition(
+                            "delete-file", p, prev_dels, (), *res(d), i, sid
+                        )
+                    )
+                elif p in refs:
+                    parts.append(
+                        ChangePartition(
+                            "delete-pos", p, new_dels, prev_dels, *res(d), i, sid
+                        )
+                    )
+            prev = cur
+        return parts
+
+    def read(self, partition: ChangePartition) -> Iterator:
+        if partition is None:
+            return
+        if partition.kind == "insert":
+            batches = _read_file_batches(
+                partition.file_path,
+                self.arrow_schema,
+                (),
+                partition.renames,
+                partition.absent,
+            )
+            yield from _with_cdc_columns(
+                batches, "insert", partition.ordinal, partition.snapshot_id
+            )
+        elif partition.kind == "delete-file":
+            batches = _read_file_batches(
+                partition.file_path,
+                self.arrow_schema,
+                partition.delete_paths,
+                partition.renames,
+                partition.absent,
+            )
+            yield from _with_cdc_columns(
+                batches, "delete", partition.ordinal, partition.snapshot_id
+            )
+        else:  # delete-pos
+            batches = _read_deleted_rows(
+                partition.file_path,
+                self.arrow_schema,
+                partition.delete_paths,
+                partition.prior_delete_paths,
+                partition.renames,
+                partition.absent,
+            )
+            yield from _with_cdc_columns(
+                batches, "delete", partition.ordinal, partition.snapshot_id
+            )
+
+
 class IcebergDataSource(DataSource):
     """``format("saber_iceberg")`` — batch + streaming reads of
     ``IcebergTable`` locations through Spark's planner."""
@@ -350,14 +602,38 @@ class IcebergDataSource(DataSource):
             )
         return loc
 
+    def _mode(self) -> str:
+        mode = self.options.get("mode", "append").lower()
+        if mode not in ("append", "changelog"):
+            raise ValueError(
+                f"saber_iceberg: unknown mode {mode!r} (append|changelog)"
+            )
+        return mode
+
     def schema(self) -> str:
-        return IcebergTable(self._location()).schema_ddl()
+        ddl = IcebergTable(self._location()).schema_ddl()
+        if self._mode() == "changelog":
+            ddl += (
+                ", _change_type STRING, _change_ordinal INT,"
+                " _commit_snapshot_id BIGINT"
+            )
+        return ddl
 
     def reader(self, schema: "StructType") -> IcebergBatchReader:
+        if self._mode() == "changelog":
+            raise ValueError(
+                "saber_iceberg: mode='changelog' is a streaming read "
+                "(readStream); batch CDC is IcebergTable.changes()"
+            )
         return IcebergBatchReader(self._location(), dict(self.options), schema)
 
     def streamReader(self, schema: "StructType") -> IcebergStreamReader:
-        return IcebergStreamReader(self._location(), dict(self.options), schema)
+        cls = (
+            IcebergChangelogStreamReader
+            if self._mode() == "changelog"
+            else IcebergStreamReader
+        )
+        return cls(self._location(), dict(self.options), schema)
 
 
 def register_iceberg_source(spark) -> None:

@@ -86,6 +86,29 @@ def read_iceberg_stream(
     )
 
 
+def read_iceberg_changelog_stream(
+    spark: SparkSession, location: str, starting: str = "earliest"
+) -> DataFrame:
+    """CDC streaming read of a from-scratch Iceberg table: each committed
+    snapshot's row-level insert/delete events (data columns +
+    ``_change_type``/``_change_ordinal``/``_commit_snapshot_id``) arrive
+    as micro-batches. This is how a downstream consumer correctly tails
+    a table that takes deletes/merges — the plain append stream refuses
+    such history outright (silent loss for an append consumer). Planned
+    as per-file executor tasks; semantics identical to the batch
+    ``IcebergTable.changes`` (parity-tested)."""
+    from saber_spark.sources.iceberg_datasource import register_iceberg_source
+
+    register_iceberg_source(spark)
+    return (
+        spark.readStream.format("saber_iceberg")
+        .option("location", location)
+        .option("mode", "changelog")
+        .option("starting-offsets", starting)
+        .load()
+    )
+
+
 def streaming_windowed_aggregate(
     stream: DataFrame,
     wd: WindowDef,

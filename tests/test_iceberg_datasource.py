@@ -264,3 +264,87 @@ def test_stream_raises_on_overwrite_snapshot(spark):
     t.merge_into(spark, _turns(spark, 1, 3), ["conv_id", "turn_idx"])
     with pytest.raises(ValueError, match="not 'append'"):
         t.appended_file_paths(0, 10**9)
+
+
+def _cdc_events(df):
+    return {
+        (r["conv_id"], r["turn_idx"], r["_change_type"], r["_commit_snapshot_id"])
+        for r in df.select(
+            "conv_id", "turn_idx", "_change_type", "_commit_snapshot_id"
+        ).collect()
+    }
+
+
+def test_changelog_stream_matches_batch_changes(spark):
+    """mode='changelog': the streamed CDC events over a mixed history
+    (appends, MoR delete, COW delete, merge, compaction) equal the batch
+    IcebergTable.changes() over the same snapshot range — including
+    incremental arrival while the stream runs and exactly-once restart
+    from the checkpoint."""
+    from saber_spark.streaming.jobs import read_iceberg_changelog_stream
+
+    loc = _fresh("cdc_stream")
+    ckpt = _fresh("cdc_ckpt")
+    out = _fresh("cdc_out")
+    first = _turns(spark, 0, 4)
+    t = IcebergTable.create(loc, first)
+    t.append(first)
+    t.delete_where(spark, [("turn_idx", "=", 2)], mode="merge-on-read")
+
+    def tail():
+        return (
+            read_iceberg_changelog_stream(spark, loc)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = tail()
+    q.processAllAvailable()
+    got = _cdc_events(spark.read.parquet(out))
+    assert got == _cdc_events(t.changes(spark))
+    inserts = {g for g in got if g[2] == "insert"}
+    deletes = {g for g in got if g[2] == "delete"}
+    assert len(inserts) == first.count()
+    assert deletes and all(g[1] == 2 for g in deletes)
+
+    # more history lands while the stream runs: COW delete + merge +
+    # compaction (compaction must emit nothing)
+    t.delete_where(spark, [("turn_idx", "<=", 0)], mode="copy-on-write")
+    upsert = _turns(spark, 3, 4).withColumn(
+        "text", F.concat(F.lit("edited: "), F.col("text"))
+    )
+    t.merge_into(spark, upsert, ["conv_id", "turn_idx"])
+    t.rewrite_data_files(spark)
+    q.processAllAvailable()
+    q.stop()
+    got = _cdc_events(spark.read.parquet(out))
+    assert got == _cdc_events(t.changes(spark))
+
+    # offline append + restart from checkpoint: only the unseen snapshot
+    # streams — nothing duplicated, nothing lost (exactly-once)
+    more = _turns(spark, 4, 5)
+    t.append(more)
+    q2 = tail()
+    q2.processAllAvailable()
+    q2.stop()
+    final = spark.read.parquet(out)
+    assert _cdc_events(final) == _cdc_events(t.changes(spark))
+    assert final.count() == t.changes(spark).count()  # multiset, no dups
+
+
+def test_changelog_mode_guards(spark):
+    loc = _fresh("cdc_guards")
+    first = _turns(spark, 0, 2)
+    t = IcebergTable.create(loc, first)
+    t.append(first)
+    register_iceberg_source(spark)
+    with pytest.raises(Exception, match="changelog"):
+        spark.read.format("saber_iceberg").option("location", loc).option(
+            "mode", "changelog"
+        ).load().collect()
+    with pytest.raises(Exception, match="unknown mode"):
+        spark.read.format("saber_iceberg").option("location", loc).option(
+            "mode", "zzz"
+        ).load().collect()
