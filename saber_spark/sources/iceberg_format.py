@@ -1526,6 +1526,17 @@ class IcebergTable:
     # -- read path -----------------------------------------------------------------
 
     def _snapshot(self, meta: dict, snapshot_id=None, as_of_ms=None) -> dict | None:
+        if isinstance(snapshot_id, str):
+            # named ref (spec §Refs): a tag pins one snapshot forever, a
+            # branch names its current head — both resolve here so every
+            # read path (scan/files/changes/time-travel) takes refs
+            ref = meta.get("refs", {}).get(snapshot_id)
+            if ref is None:
+                raise ValueError(
+                    f"unknown ref {snapshot_id!r} in {self.location} "
+                    f"(known: {sorted(meta.get('refs', {}))})"
+                )
+            snapshot_id = ref["snapshot-id"]
         if snapshot_id is None and as_of_ms is not None:
             # time travel: last snapshot at or before the timestamp
             eligible = [
@@ -1958,10 +1969,23 @@ class IcebergTable:
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the newest ``keep_last`` snapshots from metadata
         (their unshared data files become orphans; run
-        remove_orphan_files to reclaim)."""
+        remove_orphan_files to reclaim). Snapshots pinned by a named ref
+        (tag or branch, spec §Refs) are RETAINED regardless of age —
+        expiring a tagged snapshot would silently break every reader of
+        that ref, so retention works around refs exactly as in real
+        Iceberg; drop the ref first to release the snapshot."""
 
         def build(base: dict) -> dict:
-            keep = base["snapshots"][-keep_last:]
+            pinned = {
+                r["snapshot-id"] for r in base.get("refs", {}).values()
+            }
+            keep, kept_tail = [], 0
+            for snap in reversed(base["snapshots"]):
+                if kept_tail < keep_last or snap["snapshot-id"] in pinned:
+                    keep.append(snap)
+                if kept_tail < keep_last:
+                    kept_tail += 1
+            keep.reverse()
             keep_ids = {s["snapshot-id"] for s in keep}
             new = dict(base)
             new["snapshots"] = keep
@@ -1969,6 +1993,66 @@ class IcebergTable:
                 e for e in base["snapshot-log"] if e["snapshot-id"] in keep_ids
             ]
             new["last-updated-ms"] = int(time.time() * 1000)
+            return new
+
+        return self._commit(build)
+
+    # -- named refs: tags and branches (spec §Refs) ----------------------------------
+
+    def create_tag(self, name: str, snapshot_id=None) -> dict:
+        """Pin ``snapshot_id`` (default: current) under an immutable
+        name. Readers address it as ``scan(spark, snapshot_id=name)`` —
+        every read path resolves string snapshot ids through the ref
+        table — and ``expire_snapshots`` retains pinned snapshots. The
+        audit/reproducibility primitive: tag the snapshot a training run
+        consumed and the exact input multiset stays readable forever."""
+        return self._set_ref(name, snapshot_id, "tag")
+
+    def create_branch(self, name: str, snapshot_id=None) -> dict:
+        """Name a snapshot as a mutable branch head (advance it with
+        another create_branch call; main is implicit as the current
+        snapshot). Unlike real Iceberg this format does not WRITE to
+        non-main branches (writes always advance main) — branches here
+        are movable read pointers; the write-audit workflow (WAP) uses
+        tags + commit-tags instead."""
+        return self._set_ref(name, snapshot_id, "branch")
+
+    def drop_ref(self, name: str) -> dict:
+        def build(base: dict) -> dict:
+            refs = dict(base.get("refs", {}))
+            if name not in refs:
+                raise ValueError(f"unknown ref {name!r}")
+            del refs[name]
+            new = dict(base)
+            new["refs"] = refs
+            return new
+
+        return self._commit(build)
+
+    def refs(self) -> dict:
+        return dict(self._read_metadata().get("refs", {}))
+
+    def _set_ref(self, name: str, snapshot_id, kind: str) -> dict:
+        if not name or "/" in name or name in ("earliest", "latest"):
+            raise ValueError(f"invalid ref name {name!r}")
+
+        def build(base: dict) -> dict:
+            sid = snapshot_id
+            if sid is None:
+                sid = base["current-snapshot-id"]
+            if sid == -1:
+                raise ValueError("cannot ref an empty table")
+            if not any(s["snapshot-id"] == sid for s in base["snapshots"]):
+                raise ValueError(f"snapshot {sid} not found")
+            refs = dict(base.get("refs", {}))
+            if name in refs and refs[name]["type"] == "tag":
+                raise ValueError(
+                    f"tag {name!r} already exists — tags are immutable, "
+                    "drop_ref first"
+                )
+            refs[name] = {"snapshot-id": sid, "type": kind}
+            new = dict(base)
+            new["refs"] = refs
             return new
 
         return self._commit(build)

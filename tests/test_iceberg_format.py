@@ -1131,3 +1131,51 @@ def test_partition_evolution_spec_and_field_id_reuse(spark):
     t.update_partition_spec([])
     with pytest.raises(ValueError, match="partition source"):
         t.drop_column("tool")
+
+
+# -- named refs: tags and branches (spec §Refs) --------------------------------
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark):
+    loc = _fresh("refs_tags")
+    a, b, c = _turns(spark, 0), _turns(spark, 4), _turns(spark, 8)
+    t = IcebergTable.create(loc, a)
+    t.append(a)
+    t.create_tag("training-run-1")
+    t.append(b)
+    t.append(c)
+    # every read path takes the ref name as a snapshot id
+    assert _key_set(t.scan(spark, snapshot_id="training-run-1")) == _key_set(a)
+    assert {d["file_path"] for d in t.files(snapshot_id="training-run-1")} <= {
+        d["file_path"] for d in t.files()
+    }
+    # expiry retains the pinned snapshot but drops unpinned history
+    t.expire_snapshots(keep_last=1)
+    remaining = {s["snapshot-id"] for s in t.snapshots()}
+    assert t.refs()["training-run-1"]["snapshot-id"] in remaining
+    assert len(remaining) == 2  # pinned + current tail
+    assert _key_set(t.scan(spark, snapshot_id="training-run-1")) == _key_set(a)
+    # dropping the ref releases it for the next expiry
+    t.drop_ref("training-run-1")
+    t.expire_snapshots(keep_last=1)
+    assert len(t.snapshots()) == 1
+    assert _key_set(t.scan(spark)) == _key_set(a) | _key_set(b) | _key_set(c)
+
+
+def test_branch_moves_and_tag_is_immutable(spark):
+    loc = _fresh("refs_branch")
+    a, b = _turns(spark, 0), _turns(spark, 4)
+    t = IcebergTable.create(loc, a)
+    t.append(a)
+    t.create_branch("audit")
+    t.create_tag("v1")
+    t.append(b)
+    assert _key_set(t.scan(spark, snapshot_id="audit")) == _key_set(a)
+    t.create_branch("audit")  # advance the branch head to current
+    assert _key_set(t.scan(spark, snapshot_id="audit")) == _key_set(a) | _key_set(b)
+    with pytest.raises(ValueError, match="immutable"):
+        t.create_tag("v1")
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.scan(spark, snapshot_id="nope")
+    with pytest.raises(ValueError, match="invalid ref name"):
+        t.create_tag("latest")
