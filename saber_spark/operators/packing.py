@@ -175,3 +175,67 @@ def sequence_stats(packed: DataFrame, token_budget: int) -> DataFrame:
         F.sum((F.col("seq_tokens") > token_budget).cast("int")).alias("n_overflow"),
         F.max("seq_tokens").alias("max_seq_tokens"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token-window chunks —
+    the retrieval-indexing prep step (RAG chunking) next to the packing
+    operators above: packing ASSEMBLES short docs into budget-bounded
+    training rows, chunking DECOMPOSES long docs into overlapping
+    retrieval units with provenance offsets.
+
+    Tokens are whitespace runs (the exact-twin convention of
+    textops.token_stats); chunk ``i`` covers tokens
+    ``[i*step, i*step + chunk_tokens)`` with ``step = chunk_tokens -
+    overlap_tokens``, every start below ``n_tokens`` emitted, so the
+    last chunk may be short and consecutive chunks share
+    ``overlap_tokens`` tokens of context. Returns one row per chunk:
+    ``(<id>, chunk_idx, start_tok, n_tok, chunk_text)``.
+
+    Scale shape: a single narrow projection — tokenize, build the start
+    list with ``sequence`` (O(n_chunks), not O(n_tokens)), explode,
+    slice-and-join per chunk. No shuffle, no UDF; fuses into the scan
+    and parallelizes by input partition, which is the right plan when
+    "chunk the corpus" precedes an embed/index stage at 100 TB.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            "overlap_tokens must satisfy 0 <= overlap < chunk_tokens "
+            f"(got {overlap_tokens} vs {chunk_tokens})"
+        )
+    step = chunk_tokens - overlap_tokens
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    )
+    starts = F.when(
+        F.col("_n") > 0,
+        F.sequence(F.lit(0), F.col("_n") - 1, F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    out = base.select(
+        id_col,
+        "_toks",
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("start_tok") + 1, F.lit(chunk_tokens)
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(piece).cast("int").alias("n_tok"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

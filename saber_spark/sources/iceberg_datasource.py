@@ -280,8 +280,11 @@ def _with_cdc_columns(batches: Iterator, kind: str, ordinal: int, sid: int):
 class IcebergBatchReader(DataSourceReader):
     def __init__(self, location: str, options: dict, schema: "StructType"):
         self.location = location
+        # an integer pins a snapshot id; anything else is a named ref
+        # (tag/branch) resolved by the metadata ref table at plan time
+        raw = options.get("snapshot-id")
         self.snapshot_id = (
-            int(options["snapshot-id"]) if "snapshot-id" in options else None
+            None if raw is None else int(raw) if raw.lstrip("-").isdigit() else raw
         )
         self.as_of_ms = int(options["as-of-ms"]) if "as-of-ms" in options else None
         self.arrow_schema = _arrow_schema(schema)

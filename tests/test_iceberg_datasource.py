@@ -89,6 +89,9 @@ def test_batch_read_time_travel_option(spark):
     t.append(_turns(spark, 2, 4))
     assert _keys(_read(spark, loc)) == _keys(_turns(spark, 0, 4))
     assert _keys(_read(spark, loc, **{"snapshot-id": pinned})) == _keys(first)
+    # named refs resolve through the same option
+    t.create_tag("v1", pinned)
+    assert _keys(_read(spark, loc, **{"snapshot-id": "v1"})) == _keys(first)
 
 
 def test_batch_filter_pushdown_prunes_files(spark):

@@ -169,3 +169,80 @@ def test_validation():
         pk.pack_sequences(None, 10, n_shards=0)
     with pytest.raises(ValueError):
         pk.pack_sequences(None, 10, strategy="best-fit")
+
+
+# -- chunk_documents (RAG chunking) --------------------------------------------
+
+
+def test_chunk_documents_matches_duckdb_twin(spark):
+    import duckdb
+
+    from tests.oracle import assert_matches_oracle
+
+    full = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = pk.chunk_documents(full, chunk_tokens=16, overlap_tokens=4)
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    assert_matches_oracle(
+        got,
+        duck,
+        """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        st AS (
+            SELECT doc_id, tk, len(tk) AS n,
+                   unnest(range(0, greatest(len(tk), 0), 12)) AS start_tok
+            FROM toks WHERE len(tk) > 0
+        )
+        SELECT doc_id,
+               CAST(start_tok / 12 AS INTEGER)                  AS chunk_idx,
+               CAST(start_tok AS INTEGER)                       AS start_tok,
+               CAST(least(16, n - start_tok) AS INTEGER)        AS n_tok,
+               array_to_string(tk[start_tok + 1 : start_tok + 16], ' ')
+                                                                AS chunk_text
+        FROM st
+        """,
+    )
+
+
+def test_chunk_documents_laws(spark):
+    full = load_table(spark, "/root/testdata/sf0.001", "documents")
+    chunks = pk.chunk_documents(full, chunk_tokens=16, overlap_tokens=4).cache()
+    # every chunk is non-empty and within budget
+    row = chunks.agg(
+        F.min("n_tok").alias("lo"), F.max("n_tok").alias("hi")
+    ).first()
+    assert row["lo"] >= 1 and row["hi"] <= 16
+    # consecutive chunks of one doc overlap by exactly 4 token positions
+    assert (
+        chunks.where(F.col("chunk_idx") > 0)
+        .where(F.col("start_tok") != F.col("chunk_idx") * 12)
+        .count()
+        == 0
+    )
+    # reconstruction: stitching non-overlap prefixes + the last chunk's
+    # tail reproduces every doc's token stream length
+    from saber_spark.operators import textops as tx
+
+    n_tokens = full.select(
+        "doc_id", tx.token_count("text").alias("n")
+    )
+    covered = chunks.groupBy("doc_id").agg(
+        (F.max(F.col("start_tok") + F.col("n_tok"))).alias("covered")
+    )
+    bad = n_tokens.join(covered, "doc_id").where(
+        (F.col("n") > 0) & (F.col("covered") != F.col("n"))
+    )
+    assert bad.count() == 0
+    # no UDFs: the whole operator is one Catalyst projection
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Python" not in plan
+    with pytest.raises(ValueError, match="overlap"):
+        pk.chunk_documents(full, chunk_tokens=8, overlap_tokens=8)
