@@ -1,0 +1,140 @@
+"""Incremental materialized-view maintenance through CDC.
+
+The changelog stream (sources/iceberg_datasource.py mode='changelog')
+exists so downstream state can follow a table that takes deletes and
+merges WITHOUT re-scanning it. This module closes that loop: a windowed
+aggregate MV over the source table, kept exact through arbitrary
+history by folding each micro-batch's insert/delete events into the MV
+as SIGNED deltas — an insert adds (+1, +value), a delete subtracts —
+so a merge-on-read GDPR erasure or a MERGE upsert in the source
+propagates to the aggregate without recomputation.
+
+Why signed folding instead of a streaming groupBy: delete events carry
+the ORIGINAL row's event time, so they are arbitrarily "late" for their
+window — a watermarked append-mode aggregate would have already sealed
+it. The MV table is the state (no watermark seals anything), each
+micro-batch is one atomic Iceberg snapshot tagged with
+``<query>:<batch_id>``, and a replayed batch is dropped by the same
+commit-tag dedup the exactly-once sink uses — the fold is applied
+exactly once per batch even across restarts.
+
+Scale shape: the per-batch work is one groupBy of the BATCH's events
+(small), one scan of the MV (aggregate cardinality, not source
+cardinality), one full-outer join on the window key, one overwrite
+commit. Overwrite-per-batch is right while the MV is small (windowed
+aggregates are); a huge MV would switch the final fold to
+``merge_into`` on the window key plus a delete of zeroed rows — the
+same table format supports both.
+
+Reference analogue: none (Saber recomputes windows from its circular
+buffer and persists nothing) — this is the north_rule's exactly-once
+sink extended from "append results" to "maintain state".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.iceberg_format import AlreadyCommitted, IcebergTable
+
+
+class WindowedAggregateMV:
+    """Maintain ``(window_start, window_end, n_rows, sum_val)`` per
+    tumbling event-time window of the SOURCE table, fed by its changelog
+    stream. ``value_col``: the summed column (cast to long); rows whose
+    count folds to zero leave the MV entirely."""
+
+    def __init__(
+        self,
+        mv_table: IcebergTable,
+        query_name: str,
+        window_s: int,
+        ts_col: str = "ts",
+        value_col: str | None = None,
+    ) -> None:
+        if window_s <= 0:
+            raise ValueError("window_s must be positive")
+        self.table = mv_table
+        self.query_name = query_name
+        self.window_s = window_s
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+    #: the MV schema (create the table with this)
+    SCHEMA = (
+        "window_start BIGINT, window_end BIGINT, "
+        "n_rows BIGINT, sum_val BIGINT"
+    )
+
+    def _tag(self, batch_id: int) -> str:
+        return f"{self.query_name}:{batch_id}"
+
+    def _fold(self, batch: DataFrame, batch_id: int) -> None:
+        tag = self._tag(batch_id)
+        if self.table.has_commit_tag(tag):
+            return  # replayed batch: already folded, exactly once
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        val = (
+            F.col(self.value_col).cast("long")
+            if self.value_col is not None
+            else F.lit(0).cast("long")
+        )
+        ws = (
+            F.floor(
+                F.col(self.ts_col).cast("timestamp").cast("long")
+                / self.window_s
+            )
+            * self.window_s
+        ).cast("long")
+        deltas = (
+            batch.select(
+                ws.alias("window_start"),
+                sign.alias("_s"),
+                (sign * F.coalesce(val, F.lit(0))).alias("_sv"),
+            )
+            .groupBy("window_start")
+            .agg(
+                F.sum("_s").cast("long").alias("d_n"),
+                F.sum("_sv").cast("long").alias("d_sum"),
+            )
+        )
+        if not deltas.take(1):
+            return
+        spark = batch.sparkSession
+        cur = self.table.scan(spark)
+        merged = (
+            cur.join(deltas, "window_start", "full_outer")
+            .select(
+                F.col("window_start"),
+                (F.col("window_start") + self.window_s).alias("window_end"),
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("d_n"), F.lit(0))
+                ).cast("long").alias("n_rows"),
+                (
+                    F.coalesce(F.col("sum_val"), F.lit(0))
+                    + F.coalesce(F.col("d_sum"), F.lit(0))
+                ).cast("long").alias("sum_val"),
+            )
+            .where(F.col("n_rows") > 0)
+            .coalesce(1)
+        )
+        try:
+            self.table.overwrite(merged, {"saber.commit-tag": tag})
+        except AlreadyCommitted:
+            pass  # lost a race against our own replay — state is correct
+
+    def start(self, cdc_stream: DataFrame, checkpoint_dir: str, **trigger):
+        """Attach to a changelog stream (read_iceberg_changelog_stream)
+        and maintain the MV; returns the StreamingQuery."""
+        writer = (
+            cdc_stream.writeStream.foreachBatch(self._fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(self.query_name)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()

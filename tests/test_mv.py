@@ -1,0 +1,134 @@
+"""Incremental materialized-view maintenance through the CDC stream
+(streaming/mv.py): the MV must equal the batch aggregate over the
+source table's CURRENT snapshot after any history — appends, MoR
+delete, MERGE upsert, compaction — and replayed batches must fold
+exactly once."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from saber_spark.sources.iceberg_format import IcebergTable
+from saber_spark.streaming.jobs import read_iceberg_changelog_stream
+from saber_spark.streaming.mv import WindowedAggregateMV
+from saber_spark.plans.saber_queries import transcripts
+from tests.conftest import SF_SMOKE
+
+TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "mv"
+)
+WINDOW_S = 3600
+
+
+def _fresh(name: str) -> str:
+    path = os.path.join(TMP, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _batch_truth(spark, src: IcebergTable):
+    """The aggregate the MV must equal: over the CURRENT snapshot."""
+    return (
+        src.scan(spark)
+        .groupBy(
+            (
+                F.floor(F.col("ts").cast("timestamp").cast("long") / WINDOW_S)
+                * WINDOW_S
+            ).cast("long").alias("window_start")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.length("text")).cast("long").alias("sum_val"),
+        )
+    )
+
+
+def _mv_rows(spark, mv: IcebergTable):
+    return {
+        (r["window_start"], r["n_rows"], r["sum_val"])
+        for r in mv.scan(spark).collect()
+    }
+
+
+def _truth_rows(spark, src):
+    return {
+        (r["window_start"], r["n_rows"], r["sum_val"])
+        for r in _batch_truth(spark, src).collect()
+    }
+
+
+def test_mv_follows_source_through_mixed_history(spark):
+    src_loc, mv_loc, ckpt = (
+        _fresh("src"), _fresh("mv_table"), _fresh("ckpt"),
+    )
+    t = transcripts(spark, SF_SMOKE).where(F.col("turn_idx") < 6)
+    src = IcebergTable.create(src_loc, t)
+    src.append(t.where(F.col("turn_idx") < 3))
+    mv_table = IcebergTable.create(
+        mv_loc, T._parse_datatype_string(WindowedAggregateMV.SCHEMA)
+    )
+    mv = WindowedAggregateMV(
+        mv_table, "mv_test", WINDOW_S, value_col="_vlen"
+    )
+    stream = read_iceberg_changelog_stream(spark, src_loc).withColumn(
+        "_vlen", F.length("text")
+    )
+    q = mv.start(stream, ckpt)
+    try:
+        q.processAllAvailable()
+        assert _mv_rows(spark, mv_table) == _truth_rows(spark, src)
+
+        # source keeps moving: append, MoR delete, MERGE upsert, compact
+        src.append(t.where(F.col("turn_idx") >= 3))
+        q.processAllAvailable()
+        assert _mv_rows(spark, mv_table) == _truth_rows(spark, src)
+
+        src.delete_where(spark, [("tool", "=", "code")], mode="merge-on-read")
+        q.processAllAvailable()
+        assert _mv_rows(spark, mv_table) == _truth_rows(spark, src)
+
+        upsert = t.where(F.col("turn_idx") == 1).withColumn(
+            "text", F.concat(F.lit("edited longer text: "), F.col("text"))
+        )
+        src.merge_into(spark, upsert, ["conv_id", "turn_idx"])
+        src.rewrite_data_files(spark)
+        q.processAllAvailable()
+        assert _mv_rows(spark, mv_table) == _truth_rows(spark, src)
+    finally:
+        q.stop()
+
+    # offline commit + restart from the same checkpoint: the missed
+    # snapshot folds once, replays fold zero times (commit-tag dedup)
+    src.delete_where(spark, [("turn_idx", "=", 5)], mode="merge-on-read")
+    q2 = mv.start(
+        read_iceberg_changelog_stream(spark, src_loc).withColumn(
+            "_vlen", F.length("text")
+        ),
+        ckpt,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert _mv_rows(spark, mv_table) == _truth_rows(spark, src)
+
+
+def test_mv_replayed_batch_folds_exactly_once(spark):
+    src_loc, mv_loc = _fresh("replay_src"), _fresh("replay_mv")
+    t = transcripts(spark, SF_SMOKE).where(F.col("turn_idx") < 2)
+    src = IcebergTable.create(src_loc, t)
+    src.append(t)
+    mv_table = IcebergTable.create(
+        mv_loc, T._parse_datatype_string(WindowedAggregateMV.SCHEMA)
+    )
+    mv = WindowedAggregateMV(mv_table, "mv_replay", WINDOW_S, value_col="_vlen")
+    batch = src.changes(spark).withColumn("_vlen", F.length("text"))
+    mv._fold(batch, 0)
+    want = _mv_rows(spark, mv_table)
+    assert want == _truth_rows(spark, src)
+    mv._fold(batch, 0)  # foreachBatch replay after a crash: same batch_id
+    assert _mv_rows(spark, mv_table) == want
