@@ -479,10 +479,20 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
         prev: dict[str, dict] = {}
         if start["seq"]:
             base = next(
-                s
-                for s in meta["snapshots"]
-                if s["sequence-number"] == start["seq"]
+                (
+                    s
+                    for s in meta["snapshots"]
+                    if s["sequence-number"] == start["seq"]
+                ),
+                None,
             )
+            if base is None:
+                raise ValueError(
+                    f"changelog start snapshot (seq {start['seq']}) is gone "
+                    f"from {self.location} — expired while the stream was "
+                    "down; expire_snapshots retention must cover the "
+                    "longest restart gap (re-seed from a fresh checkpoint)"
+                )
             prev = {
                 d["file_path"]: d
                 for d in table._live_entries(base["snapshot-id"], meta=meta)
@@ -495,6 +505,8 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
                 res_cache[sid] = _resolution(table, meta, sid)
             return res_cache[sid]
 
+        from saber_spark.sources.iceberg_format import _cdc_diff
+
         parts: list[ChangePartition] = []
         for i, s in enumerate(snaps):
             cur = {
@@ -505,48 +517,31 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
                 prev = cur
                 continue
             sid = s["snapshot-id"]
-            prev_dels = tuple(
-                sorted(
-                    p for p, d in prev.items() if d.get("content", 0) == 1
-                )
-            )
+            diff = _cdc_diff(prev, cur)  # same rules as batch changes()
+            prev_dels = tuple(sorted(diff["prev_del_paths"]))
             new_dels = tuple(
-                sorted(
-                    p
-                    for p, d in cur.items()
-                    if d.get("content", 0) == 1 and p not in prev
-                )
+                sorted(d["file_path"] for d in diff["added_dels"])
             )
-            for p, d in cur.items():
-                if d.get("content", 0) == 0 and p not in prev:
-                    parts.append(
-                        ChangePartition("insert", p, (), (), *res(d), i, sid)
+            for d in diff["added_data"]:
+                parts.append(
+                    ChangePartition(
+                        "insert", d["file_path"], (), (), *res(d), i, sid
                     )
-            refs: set[str] = set()
-            if new_dels:
-                for p in new_dels:
-                    refs |= set(
-                        cur[p].get("referenced_data_files", [])
-                    ) or set(
-                        q
-                        for q, dd in prev.items()
-                        if dd.get("content", 0) == 0
+                )
+            for d in diff["removed_data"]:
+                parts.append(
+                    ChangePartition(
+                        "delete-file", d["file_path"], prev_dels, (),
+                        *res(d), i, sid,
                     )
-            for p, d in prev.items():
-                if d.get("content", 0) != 0:
-                    continue
-                if p not in cur:
-                    parts.append(
-                        ChangePartition(
-                            "delete-file", p, prev_dels, (), *res(d), i, sid
-                        )
+                )
+            for d in diff["delete_targets"]:
+                parts.append(
+                    ChangePartition(
+                        "delete-pos", d["file_path"], new_dels, prev_dels,
+                        *res(d), i, sid,
                     )
-                elif p in refs:
-                    parts.append(
-                        ChangePartition(
-                            "delete-pos", p, new_dels, prev_dels, *res(d), i, sid
-                        )
-                    )
+                )
             prev = cur
         return parts
 

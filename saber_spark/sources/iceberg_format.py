@@ -208,8 +208,12 @@ def _file_stats(path: str) -> dict:
                     continue
             if hasattr(mn, "isoformat"):
                 # space separator, not 'T': bounds compare lexicographically
-                # against SQL-literal-style 'YYYY-MM-DD HH:MM:SS' strings
-                mn, mx = mn.isoformat(sep=" "), mx.isoformat(sep=" ")
+                # against SQL-literal-style 'YYYY-MM-DD HH:MM:SS' strings.
+                # (plain dates take no sep — their isoformat has none)
+                try:
+                    mn, mx = mn.isoformat(sep=" "), mx.isoformat(sep=" ")
+                except TypeError:
+                    mn, mx = mn.isoformat(), mx.isoformat()
             if not isinstance(mn, (str, int, float, bool)):
                 incomplete.add(name)
                 continue
@@ -1263,6 +1267,12 @@ class IcebergTable:
                 "rewrite_zorder: needs >= 2 columns (one column is a "
                 "plain sort — use rewrite_sorted)"
             )
+        if bits * len(by) > 63:
+            raise ValueError(
+                f"rewrite_zorder: bits*len(by) = {bits * len(by)} exceeds "
+                "the 63 interleaved bit positions a signed long holds — "
+                "lower bits or drop a column"
+            )
         meta = self._read_metadata()
         fields = {f["name"]: f for f in self._schema_fields(meta)}
         missing = [c for c in by if c not in fields]
@@ -1286,14 +1296,14 @@ class IcebergTable:
             if fields[c]["type"]
             in ("int", "long", "float", "double", "date", "timestamp", "timestamptz")
         ]
-        probed = df.select(
-            *[
-                F.col(c).cast("double").alias(c)
-                if fields[c]["type"] not in ("timestamp", "timestamptz")
-                else F.col(c).cast("timestamp").cast("double").alias(c)
-                for c in numeric
-            ]
-        )
+        # date/timestamp cannot cast straight to double — route them
+        # through timestamp (DATE -> TIMESTAMP -> DOUBLE is legal)
+        def _as_double(c: str):
+            if fields[c]["type"] in ("timestamp", "timestamptz", "date"):
+                return F.col(c).cast("timestamp").cast("double")
+            return F.col(c).cast("double")
+
+        probed = df.select(*[_as_double(c).alias(c) for c in numeric])
         probs = [i / n_buckets for i in range(1, n_buckets)]
         cuts = (
             dict(zip(numeric, probed.approxQuantile(numeric, probs, 0.001)))
@@ -1303,11 +1313,7 @@ class IcebergTable:
         bucket_cols = []
         for c in by:
             if c in cuts:
-                val = (
-                    F.col(c).cast("double")
-                    if fields[c]["type"] not in ("timestamp", "timestamptz")
-                    else F.col(c).cast("timestamp").cast("double")
-                )
+                val = _as_double(c)
                 bounds = F.array(*[F.lit(float(x)) for x in cuts[c]])
                 bucket = F.size(F.filter(bounds, lambda v: v <= val))
             else:
@@ -1849,65 +1855,49 @@ class IcebergTable:
                 prev = cur
                 continue
             sid = s["snapshot-id"]
-            added_data = [
-                d
-                for p, d in cur.items()
-                if d.get("content", 0) == 0 and p not in prev
-            ]
-            removed_data = [
-                d
-                for p, d in prev.items()
-                if d.get("content", 0) == 0 and p not in cur
-            ]
-            added_dels = [
-                d
-                for p, d in cur.items()
-                if d.get("content", 0) == 1 and p not in prev
-            ]
-            prev_del_paths = [
-                p for p, d in prev.items() if d.get("content", 0) == 1
-            ]
-            if added_data:
-                parts.append(
-                    stamp(
-                        self._read_data_entries(spark, meta, added_data),
-                        "insert", i, sid,
-                    )
-                )
-            if removed_data:
+            diff = _cdc_diff(prev, cur)
+            if diff["added_data"]:
                 parts.append(
                     stamp(
                         self._read_data_entries(
-                            spark, meta, removed_data, prev_del_paths or None
+                            spark, meta, diff["added_data"]
+                        ),
+                        "insert", i, sid,
+                    )
+                )
+            if diff["removed_data"]:
+                parts.append(
+                    stamp(
+                        self._read_data_entries(
+                            spark,
+                            meta,
+                            diff["removed_data"],
+                            diff["prev_del_paths"] or None,
                         ),
                         "delete", i, sid,
                     )
                 )
-            if added_dels:
+            if diff["added_dels"]:
                 new_del = spark.read.parquet(
-                    *sorted(d["file_path"] for d in added_dels)
+                    *sorted(d["file_path"] for d in diff["added_dels"])
                 ).select(
                     F.col("file_path").alias("_del_fp"),
                     F.col("pos").alias("_del_pos"),
                 )
-                if prev_del_paths:
-                    old_del = spark.read.parquet(*sorted(prev_del_paths)).select(
+                if diff["prev_del_paths"]:
+                    old_del = spark.read.parquet(
+                        *sorted(diff["prev_del_paths"])
+                    ).select(
                         F.col("file_path").alias("_del_fp"),
                         F.col("pos").alias("_del_pos"),
                     )
                     new_del = new_del.join(
                         old_del, ["_del_fp", "_del_pos"], "left_anti"
                     )
-                refs: set[str] = set()
-                for d in added_dels:
-                    refs |= set(d.get("referenced_data_files", []))
-                targets = [
-                    d
-                    for p, d in prev.items()
-                    if d.get("content", 0) == 0 and (not refs or p in refs)
-                ]
-                if targets:
-                    rows = self._read_entries_with_pos(spark, meta, targets)
+                if diff["delete_targets"]:
+                    rows = self._read_entries_with_pos(
+                        spark, meta, diff["delete_targets"]
+                    )
                     hit = rows.join(
                         F.broadcast(new_del),
                         (F.col("_fp") == F.col("_del_fp"))
@@ -2033,7 +2023,15 @@ class IcebergTable:
         return dict(self._read_metadata().get("refs", {}))
 
     def _set_ref(self, name: str, snapshot_id, kind: str) -> dict:
-        if not name or "/" in name or name in ("earliest", "latest"):
+        if (
+            not name
+            or "/" in name
+            or name in ("earliest", "latest")
+            or name.lstrip("-").isdigit()
+        ):
+            # digit-only names are rejected so a snapshot-id string is
+            # never ambiguous between a ref and an integer id (the
+            # DataSource option parses digits as ids)
             raise ValueError(f"invalid ref name {name!r}")
 
         def build(base: dict) -> dict:
@@ -2045,17 +2043,82 @@ class IcebergTable:
             if not any(s["snapshot-id"] == sid for s in base["snapshots"]):
                 raise ValueError(f"snapshot {sid} not found")
             refs = dict(base.get("refs", {}))
-            if name in refs and refs[name]["type"] == "tag":
-                raise ValueError(
-                    f"tag {name!r} already exists — tags are immutable, "
-                    "drop_ref first"
-                )
+            if name in refs:
+                if refs[name]["type"] == "tag":
+                    raise ValueError(
+                        f"tag {name!r} already exists — tags are immutable, "
+                        "drop_ref first"
+                    )
+                if kind != "branch":
+                    # a tag must not silently clobber (and freeze) an
+                    # existing branch pointer of the same name
+                    raise ValueError(
+                        f"branch {name!r} already exists — a tag cannot "
+                        "replace it; drop_ref first or pick another name"
+                    )
             refs[name] = {"snapshot-id": sid, "type": kind}
             new = dict(base)
             new["refs"] = refs
             return new
 
         return self._commit(build)
+
+
+def _cdc_diff(prev: dict, cur: dict) -> dict:
+    """The single snapshot-to-snapshot CDC diff BOTH changelog readers
+    consume (batch ``IcebergTable.changes`` and the streaming
+    ``IcebergChangelogStreamReader``) — one algorithm, one set of
+    fallback rules, so the two can never diverge. ``prev``/``cur`` map
+    file_path -> manifest entry of the live sets at consecutive
+    snapshots.
+
+    Returns ``added_data`` (insert events), ``removed_data`` (COW delete
+    events; apply ``prev_del_paths`` so rows already dead via
+    merge-on-read are not re-announced), ``added_dels`` (new
+    position-delete files), ``prev_del_paths`` (for the trimmed-carry
+    anti-join), and ``delete_targets`` — the prev-live data files the
+    new deletes may reference. A delete entry missing
+    ``referenced_data_files`` (an external/older writer) falls back to
+    ALL prev data files: conservative, never loses a delete event."""
+    added_data = [
+        d for p, d in cur.items() if d.get("content", 0) == 0 and p not in prev
+    ]
+    removed_data = [
+        d for p, d in prev.items() if d.get("content", 0) == 0 and p not in cur
+    ]
+    added_dels = [
+        d for p, d in cur.items() if d.get("content", 0) == 1 and p not in prev
+    ]
+    prev_del_paths = [p for p, d in prev.items() if d.get("content", 0) == 1]
+    refs: set[str] = set()
+    fallback_all = False
+    for d in added_dels:
+        r = d.get("referenced_data_files")
+        if r:
+            refs |= set(r)
+        else:
+            fallback_all = True
+    # a file REMOVED by this same snapshot is excluded: its live rows are
+    # already announced whole-file via removed_data, and resolving new
+    # positions against it too would announce those rows twice
+    delete_targets = (
+        [
+            d
+            for p, d in prev.items()
+            if d.get("content", 0) == 0
+            and p in cur
+            and (fallback_all or p in refs)
+        ]
+        if added_dels
+        else []
+    )
+    return {
+        "added_data": added_data,
+        "removed_data": removed_data,
+        "added_dels": added_dels,
+        "prev_del_paths": prev_del_paths,
+        "delete_targets": delete_targets,
+    }
 
 
 _TS_BOUND_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")

@@ -101,9 +101,14 @@ class WindowedAggregateMV:
                 F.sum("_sv").cast("long").alias("d_sum"),
             )
         )
-        if not deltas.take(1):
-            return
+        # materialize the (tiny: windows-touched-this-batch) delta rows
+        # ONCE — overwrite() would otherwise re-run the whole batch
+        # aggregation when it writes, doubling per-batch source work
         spark = batch.sparkSession
+        delta_rows = deltas.collect()
+        if not delta_rows:
+            return
+        deltas = spark.createDataFrame(delta_rows, deltas.schema)
         cur = self.table.scan(spark)
         merged = (
             cur.join(deltas, "window_start", "full_outer")

@@ -1179,3 +1179,38 @@ def test_branch_moves_and_tag_is_immutable(spark):
         t.scan(spark, snapshot_id="nope")
     with pytest.raises(ValueError, match="invalid ref name"):
         t.create_tag("latest")
+
+
+def test_zorder_review_guards_and_date_column(spark):
+    grid = spark.range(256).select(
+        F.col("id").alias("x"),
+        (F.col("id") % 16).alias("y"),
+        (F.col("id") % 4).alias("z"),
+        (F.col("id") % 3).alias("w"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 30).cast("int")).alias("d"),
+    )
+    loc = _fresh("zorder_review")
+    t = IcebergTable.create(loc, grid)
+    t.append(grid)
+    with pytest.raises(ValueError, match="63 interleaved bit"):
+        t.rewrite_zorder(spark, ["x", "y", "z", "w"], bits=16)
+    # DATE z-columns route through the timestamp cast (was a crash)
+    assert t.rewrite_zorder(spark, ["d", "x"], bits=4) is not None
+    assert t.scan(spark).count() == 256
+
+
+def test_ref_name_and_type_guards(spark):
+    loc = _fresh("refs_guards2")
+    g = spark.range(4).select(F.col("id").alias("x"))
+    t = IcebergTable.create(loc, g)
+    t.append(g)
+    with pytest.raises(ValueError, match="invalid ref name"):
+        t.create_tag("20240101")  # digit-only: ambiguous with an id
+    t.create_branch("audit")
+    with pytest.raises(ValueError, match="cannot replace"):
+        t.create_tag("audit")  # a tag must not freeze a branch pointer
+    # the branch still advances afterwards
+    t.append(g)
+    t.create_branch("audit")
+    assert t.refs()["audit"]["type"] == "branch"
