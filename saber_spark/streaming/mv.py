@@ -40,10 +40,12 @@ from ..sources.iceberg_format import AlreadyCommitted, IcebergTable
 
 
 class WindowedAggregateMV:
-    """Maintain ``(window_start, window_end, n_rows, sum_val)`` per
-    tumbling event-time window of the SOURCE table, fed by its changelog
-    stream. ``value_col``: the summed column (cast to long); rows whose
-    count folds to zero leave the MV entirely."""
+    """Maintain ``(window_start, window_end, <keys...>, n_rows,
+    sum_val)`` per tumbling event-time window (and optional group keys)
+    of the SOURCE table, fed by its changelog stream. ``value_col``:
+    the summed column (cast to long); rows whose count folds to zero
+    leave the MV entirely. Create the MV table with ``schema_ddl()``
+    (pass the key columns' DDL, e.g. ``"tool STRING"``)."""
 
     def __init__(
         self,
@@ -52,6 +54,7 @@ class WindowedAggregateMV:
         window_s: int,
         ts_col: str = "ts",
         value_col: str | None = None,
+        keys: tuple[str, ...] = (),
     ) -> None:
         if window_s <= 0:
             raise ValueError("window_s must be positive")
@@ -60,12 +63,21 @@ class WindowedAggregateMV:
         self.window_s = window_s
         self.ts_col = ts_col
         self.value_col = value_col
+        self.keys = tuple(keys)
 
-    #: the MV schema (create the table with this)
+    #: the keyless MV schema; with keys use schema_ddl("tool STRING")
     SCHEMA = (
         "window_start BIGINT, window_end BIGINT, "
         "n_rows BIGINT, sum_val BIGINT"
     )
+
+    @staticmethod
+    def schema_ddl(key_ddl: str = "") -> str:
+        return (
+            "window_start BIGINT, window_end BIGINT, "
+            + (f"{key_ddl}, " if key_ddl else "")
+            + "n_rows BIGINT, sum_val BIGINT"
+        )
 
     def _tag(self, batch_id: int) -> str:
         return f"{self.query_name}:{batch_id}"
@@ -89,13 +101,15 @@ class WindowedAggregateMV:
             )
             * self.window_s
         ).cast("long")
+        group_cols = ["window_start", *self.keys]
         deltas = (
             batch.select(
                 ws.alias("window_start"),
+                *[F.col(k) for k in self.keys],
                 sign.alias("_s"),
                 (sign * F.coalesce(val, F.lit(0))).alias("_sv"),
             )
-            .groupBy("window_start")
+            .groupBy(*group_cols)
             .agg(
                 F.sum("_s").cast("long").alias("d_n"),
                 F.sum("_sv").cast("long").alias("d_sum"),
@@ -111,10 +125,11 @@ class WindowedAggregateMV:
         deltas = spark.createDataFrame(delta_rows, deltas.schema)
         cur = self.table.scan(spark)
         merged = (
-            cur.join(deltas, "window_start", "full_outer")
+            cur.join(deltas, group_cols, "full_outer")
             .select(
                 F.col("window_start"),
                 (F.col("window_start") + self.window_s).alias("window_end"),
+                *[F.col(k) for k in self.keys],
                 (
                     F.coalesce(F.col("n_rows"), F.lit(0))
                     + F.coalesce(F.col("d_n"), F.lit(0))

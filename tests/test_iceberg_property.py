@@ -41,6 +41,7 @@ _append = st.tuples(
     st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=6),
 )
 _delete = st.tuples(st.just("delete"), st.sampled_from(GROUPS))
+_delete_mor = st.tuples(st.just("delete_mor"), st.sampled_from(GROUPS))
 _merge = st.tuples(
     st.just("merge"),
     st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=4),
@@ -49,7 +50,7 @@ _compact = st.tuples(st.just("compact"), st.none())
 _expire = st.tuples(st.just("expire"), st.none())
 
 OPS = st.lists(
-    st.one_of(_append, _delete, _merge, _compact, _expire),
+    st.one_of(_append, _delete, _delete_mor, _merge, _compact, _expire),
     min_size=3,
     max_size=7,
 )
@@ -86,8 +87,12 @@ def test_table_state_machine_matches_model(spark, ops, data):
             rows = [_row(i, tag) for i in arg]
             table.append(spark.createDataFrame(rows, SCHEMA))
             model.update(rows)
-        elif kind == "delete":
-            table.delete_where(spark, [("grp", "=", arg)])
+        elif kind in ("delete", "delete_mor"):
+            table.delete_where(
+                spark,
+                [("grp", "=", arg)],
+                mode="merge-on-read" if kind == "delete_mor" else "copy-on-write",
+            )
             model = Counter(
                 {t: n for t, n in model.items() if t[1] != arg}
             )
@@ -114,3 +119,22 @@ def test_table_state_machine_matches_model(spark, ops, data):
     if history:
         snap_id, snap_model = data.draw(st.sampled_from(history))
         assert _scan_counter(spark, table, snapshot_id=snap_id) == snap_model
+
+    # CDC: the changelog between a random retained snapshot pair replays
+    # the earlier state into the later one exactly — inserts add, deletes
+    # subtract, never below zero (each delete announced exactly once)
+    if len(history) >= 2:
+        ia = data.draw(st.integers(0, len(history) - 2))
+        ib = data.draw(st.integers(ia + 1, len(history) - 1))
+        (s_from, m_from), (s_to, m_to) = history[ia], history[ib]
+        folded = Counter(m_from)
+        for r in table.changes(
+            spark, from_snapshot_id=s_from, to_snapshot_id=s_to
+        ).collect():
+            key = (r["id"], r["grp"], r["val"])
+            if r["_change_type"] == "insert":
+                folded[key] += 1
+            else:
+                folded[key] -= 1
+                assert folded[key] >= 0, f"over-announced delete: {key}"
+        assert +folded == m_to, f"changelog replay {s_from}->{s_to}"

@@ -132,3 +132,64 @@ def test_mv_replayed_batch_folds_exactly_once(spark):
     assert want == _truth_rows(spark, src)
     mv._fold(batch, 0)  # foreachBatch replay after a crash: same batch_id
     assert _mv_rows(spark, mv_table) == want
+
+
+def test_mv_with_group_keys(spark):
+    """Keyed MV: per-(window, tool) counts stay exact through a MoR
+    delete that removes one tool's rows entirely from some windows."""
+    src_loc, mv_loc, ckpt = (
+        _fresh("key_src"), _fresh("key_mv"), _fresh("key_ckpt"),
+    )
+    t = transcripts(spark, SF_SMOKE).where(F.col("turn_idx") < 6)
+    src = IcebergTable.create(src_loc, t)
+    src.append(t)
+    mv_table = IcebergTable.create(
+        mv_loc,
+        T._parse_datatype_string(WindowedAggregateMV.schema_ddl("tool STRING")),
+    )
+    mv = WindowedAggregateMV(
+        mv_table, "mv_keys", WINDOW_S, value_col="_vlen", keys=("tool",)
+    )
+
+    def truth():
+        return {
+            (r["window_start"], r["tool"], r["n_rows"], r["sum_val"])
+            for r in src.scan(spark)
+            .groupBy(
+                (
+                    F.floor(
+                        F.col("ts").cast("timestamp").cast("long") / WINDOW_S
+                    )
+                    * WINDOW_S
+                ).cast("long").alias("window_start"),
+                "tool",
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.length("text")).cast("long").alias("sum_val"),
+            )
+            .collect()
+        }
+
+    def mv_rows():
+        return {
+            (r["window_start"], r["tool"], r["n_rows"], r["sum_val"])
+            for r in mv_table.scan(spark).collect()
+        }
+
+    q = mv.start(
+        read_iceberg_changelog_stream(spark, src_loc).withColumn(
+            "_vlen", F.length("text")
+        ),
+        ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        assert mv_rows() == truth()
+        src.delete_where(spark, [("tool", "=", "code")], mode="merge-on-read")
+        q.processAllAvailable()
+        got = mv_rows()
+        assert got == truth()
+        assert not any(r[1] == "code" for r in got)  # folded to zero, gone
+    finally:
+        q.stop()
