@@ -151,3 +151,94 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
         df.select("media_id", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"))
         .where(F.col("frame_idx") % every_n == 0)
     )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_stub(
+    df: DataFrame,
+    factor: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image/video resize — plumbing only: the batch shape, schema, and
+    vectorized byte path of a real resize (decode → scale → re-encode,
+    which needs codecs this container lacks; ``decode_image`` is the
+    honest gate). The stand-in keeps every ``factor``-th byte of the
+    payload (NumPy stride slice — no Python byte loops), so output size,
+    Arrow batch behavior, and downstream partition sizing are realistic.
+    """
+    if factor < 1:
+        raise ValueError("resize_stub: factor must be >= 1")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_payload = [
+                np.frombuffer(p, dtype=np.uint8)[::factor].tobytes()
+                if p is not None
+                else None
+                for p in b[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": b[id_col],
+                    "payload": out_payload,
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in out_payload
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, RESIZED_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Media feature extraction: payload → L2-normalized float vector.
+    Unlike the codec-gated decode, this path is REAL end to end — the
+    feature is the byte-value histogram (256 bins, a legitimate if crude
+    content signature) projected to ``dim`` dims by a seed-fixed random
+    matrix, all vectorized NumPy inside one ``mapInPandas`` pass. The
+    output column is exactly the ``embedding`` shape the ANN layer
+    consumes, so media near-dup = extract_features → similarity ops
+    (RP-LSH / IVF) with no adapter.
+    """
+    if dim < 1:
+        raise ValueError("extract_features: dim must be >= 1")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = np.random.default_rng(seed).standard_normal((256, dim))
+        for b in batches:
+            out = []
+            for p in b[payload_col]:
+                if p is None or len(p) == 0:
+                    out.append([0.0] * dim)
+                    continue
+                hist = np.bincount(
+                    np.frombuffer(p, dtype=np.uint8), minlength=256
+                ).astype(np.float64)
+                v = hist @ proj
+                n = np.linalg.norm(v)
+                out.append((v / n if n > 0 else v).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": b[id_col], "embedding": out})
+
+    return df.select(id_col, payload_col).mapInPandas(op, FEATURES_SCHEMA)

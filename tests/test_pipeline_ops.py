@@ -471,3 +471,49 @@ def test_simhash_packed_bit_parity_with_wide(spark, docs):
     joined = wide.join(packed, "doc_id")
     assert joined.where(F.col("w") != F.col("p")).count() == 0
     assert joined.count() == docs.select("doc_id").distinct().count()
+
+
+def test_multimodal_resize_and_features_compose_with_ann(spark, docs):
+    """resize_stub thins payloads by the stride factor; extract_features
+    emits the exact embedding shape the ANN layer consumes — media
+    near-dup as extract_features -> cosine, with identical payloads at
+    cosine 1 and disjoint-alphabet payloads clearly separated."""
+    media = docs.limit(12).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    resized = mm.resize_stub(media, factor=4).toPandas()
+    orig = {r.media_id: len(r.payload) for r in media.collect()}
+    assert set(resized.media_id) == set(orig)
+    for _, r in resized.iterrows():
+        assert r.n_bytes == len(r.payload) == -(-orig[r.media_id] // 4)
+    with pytest.raises(ValueError):
+        mm.resize_stub(media, factor=0)
+
+    feats = mm.extract_features(media, dim=16)
+    pdf = feats.toPandas()
+    assert all(len(v) == 16 for v in pdf.embedding)
+    norms = [sum(x * x for x in v) for v in pdf.embedding]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+    # determinism: same seed, same vectors
+    pdf2 = mm.extract_features(media, dim=16).toPandas()
+    a = {r.media_id: tuple(r.embedding) for _, r in pdf.iterrows()}
+    b = {r.media_id: tuple(r.embedding) for _, r in pdf2.iterrows()}
+    assert a == b
+    # composes with the ANN operator surface, byte-content-sensitively:
+    # identical payloads -> cosine ~1; disjoint byte alphabets -> lower
+    from saber_spark.operators.similarity import cosine_pairs
+
+    probe = spark.createDataFrame(
+        [(1, b"aaaabbbb" * 64), (2, b"aaaabbbb" * 64), (3, b"\xf0\xf1" * 256)],
+        "media_id long, payload binary",
+    )
+    pv = cosine_pairs(
+        mm.extract_features(probe).withColumnRenamed("media_id", "vec_id"),
+        threshold=-1.0,
+    ).toPandas()
+    sim = {
+        tuple(sorted((r.id_a, r.id_b))): r.cosine for _, r in pv.iterrows()
+    }
+    assert sim[(1, 2)] > 0.999
+    assert sim[(1, 3)] < sim[(1, 2)] - 0.1
