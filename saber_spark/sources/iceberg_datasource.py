@@ -325,6 +325,14 @@ class IcebergBatchReader(DataSourceReader):
                 )
             )
         ]
+        eq = [d for d in entries if d.get("content", 0) == 2]
+        if eq:
+            raise ValueError(
+                "saber_iceberg: this snapshot has live equality-delete "
+                "files, which the per-file Arrow reader does not fold in "
+                "yet — scan via IcebergTable.scan (full MoR view) or run "
+                "rewrite_data_files to apply and retire them"
+            )
         # merge-on-read: hand each partition exactly the delete files
         # that reference it (referenced_data_files from the manifest), so
         # executors never open unrelated delete files

@@ -502,6 +502,7 @@ class IcebergTable:
         operation: str,
         summary_extra: dict | None,
         validate=None,
+        carry_manifests: bool | None = None,
     ) -> dict:
         """Write the manifest + manifest list, then run the commit loop.
         The manifest files are immutable and written once; only the
@@ -514,14 +515,6 @@ class IcebergTable:
         manifest_path = os.path.join(
             self.meta_dir, f"{uuid.uuid4().hex}-m0.manifest.json"
         )
-        with open(manifest_path, "w") as f:
-            json.dump(
-                [
-                    {"status": 1, "snapshot_id": snap_id, "data_file": d}
-                    for d in data_files
-                ],
-                f,
-            )
         mlist_path = os.path.join(
             self.meta_dir, f"snap-{snap_id}.manifest-list.json"
         )
@@ -536,11 +529,32 @@ class IcebergTable:
             if validate is not None:
                 validate(base)
             seq = base["last-sequence-number"] + 1
+            # the manifest is written INSIDE the commit loop so entries
+            # carry their data sequence number (spec: equality deletes
+            # apply only to rows whose data-seq is strictly lower) —
+            # a retry rewrites the same not-yet-referenced file
+            with open(manifest_path, "w") as f:
+                json.dump(
+                    [
+                        {
+                            "status": 1,
+                            "snapshot_id": snap_id,
+                            "data_file": {**d, "data-seq": seq},
+                        }
+                        for d in data_files
+                    ],
+                    f,
+                )
             parent = base["current-snapshot-id"]
             now_ms = int(time.time() * 1000)
-            if operation == "overwrite":
+            carry = (
+                operation != "overwrite"
+                if carry_manifests is None
+                else carry_manifests
+            )
+            if not carry:  # full overwrite: the new manifest IS the table
                 manifests = [mlist_entry(manifest_path, snap_id, data_files)]
-            else:  # append: carry every live manifest forward
+            else:  # append / row-delta: carry every live manifest forward
                 manifests = self._manifest_list(base) + [
                     mlist_entry(manifest_path, snap_id, data_files)
                 ]
@@ -683,6 +697,26 @@ class IcebergTable:
             for p, d in live.items():
                 if p in removed_paths:
                     continue
+                if d.get("content", 0) == 2:
+                    if (
+                        known_delete_paths is not None
+                        and p not in known_delete_paths
+                        and any(
+                            self._data_seq(live[r]) < self._data_seq(d)
+                            for r in removed_paths
+                            if r in live
+                        )
+                    ):
+                        # an equality delete landed on rows we rewrote
+                        # AFTER we read them — our new files get a higher
+                        # data-seq, so the delete would silently stop
+                        # applying to those rows. Fail and retry.
+                        raise ValidationFailed(
+                            f"concurrent equality delete {p} applies to "
+                            "files being rewritten — retry the rewrite"
+                        )
+                    carried.append(d)
+                    continue
                 if d.get("content", 0) == 1:
                     if (
                         known_delete_paths is not None
@@ -709,6 +743,31 @@ class IcebergTable:
                     if d is None:
                         continue
                 carried.append(d)
+            # retire equality deletes no remaining data file is older
+            # than (every target rewritten with the delete applied) —
+            # the equality analogue of _trim_delete_entry's drop case
+            min_data_seq = min(
+                (
+                    self._data_seq(d)
+                    for d in carried
+                    if d.get("content", 0) == 0
+                ),
+                default=None,
+            )
+            carried = [
+                d
+                for d in carried
+                if d.get("content", 0) != 2
+                or (
+                    min_data_seq is not None
+                    and self._data_seq(d) > min_data_seq
+                )
+            ]
+            seq = base["last-sequence-number"] + 1
+            # new files stamp the rewrite's own data-seq; carried files
+            # KEEP theirs (a compaction's rewritten rows already had the
+            # live deletes applied, so the fresh seq is exactly right —
+            # older equality deletes must not re-apply to them)
             manifest_path = os.path.join(
                 self.meta_dir, f"{uuid.uuid4().hex}-m0.manifest.json"
             )
@@ -719,7 +778,11 @@ class IcebergTable:
                         for d in carried
                     ]
                     + [
-                        {"status": 1, "snapshot_id": snap_id, "data_file": d}
+                        {
+                            "status": 1,
+                            "snapshot_id": snap_id,
+                            "data_file": {**d, "data-seq": seq},
+                        }
                         for d in new_files
                     ],
                     f,
@@ -745,7 +808,6 @@ class IcebergTable:
                     f,
                 )
             now_ms = int(time.time() * 1000)
-            seq = base["last-sequence-number"] + 1
             parent = base["current-snapshot-id"]
             snap = {
                 "snapshot-id": snap_id,
@@ -867,13 +929,19 @@ class IcebergTable:
             live = self._live_files(meta)
         entries = [live.get(p, {"file_path": p}) for p in paths]
         del_paths = None
+        eq_entries: list[dict] = []
         if apply_deletes:
             del_paths = [
                 d["file_path"]
                 for d in live.values()
                 if d.get("content", 0) == 1
             ]
-        return self._read_data_entries(spark, meta, entries, del_paths or None)
+            eq_entries = [
+                d for d in live.values() if d.get("content", 0) == 2
+            ]
+        return self._read_with_all_deletes(
+            spark, meta, entries, del_paths or None, eq_entries
+        )
 
     def delete_where(
         self,
@@ -944,7 +1012,9 @@ class IcebergTable:
             )
         all_live = self._live_files(meta)
         known_dels = {
-            p for p, d in all_live.items() if d.get("content", 0) == 1
+            p
+            for p, d in all_live.items()
+            if d.get("content", 0) in (1, 2)
         }
         keep = self._read_paths(spark, meta, sorted(paths), live=all_live).where(
             ~F.coalesce(pred, F.lit(False))
@@ -1039,6 +1109,199 @@ class IcebergTable:
         shutil.rmtree(stage, ignore_errors=True)
         return entries
 
+    def delete_by_equality(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        cols: list[str] | None = None,
+        summary_extra: dict | None = None,
+    ) -> dict:
+        """Merge-on-read DELETE by column VALUES (spec v2 equality-delete
+        files, content=2): commit one small parquet of key tuples; a data
+        row is deleted iff it null-safe-matches any tuple AND its file's
+        data sequence number is strictly LOWER than the delete's —
+        later-appended rows with the same keys are untouched, which is
+        what makes this the upsert primitive: append new rows + equality-
+        delete their keys = an upsert whose write cost is O(batch), not
+        O(affected data files) (contrast ``merge_into``'s copy-on-write
+        rewrite and ``delete_where(mode='merge-on-read')``'s position
+        deletes, which must first FIND the positions by reading the
+        data). Readers fold the tuples in as a broadcast null-safe
+        anti-join; ``rewrite_data_files`` applies and retires them.
+
+        ``keys``: DataFrame of the delete tuples (deduplicated here);
+        ``cols`` defaults to all of its columns. The columns are recorded
+        by FIELD ID, so later renames keep the delete valid; dropping a
+        referenced column is refused while the delete is live."""
+        meta = self._read_metadata()
+        entry = self._write_equality_delete_file(keys, cols, meta)
+        return self._snapshot_commit(
+            [entry],
+            "delete",
+            {"saber.delete-mode": "merge-on-read-equality",
+             **(summary_extra or {})},
+        )
+
+    def upsert_by_key(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        key_cols: list[str],
+        summary_extra: dict | None = None,
+    ) -> dict:
+        """Merge-on-read UPSERT in ONE atomic snapshot: the batch's rows
+        as new data files plus an equality-delete of their key tuples,
+        committed together. Both carry the SAME data sequence number and
+        equality deletes apply only to STRICTLY lower sequences, so the
+        delete retires every pre-existing row with a matching key while
+        the batch's own rows are untouched — ``merge_into`` semantics at
+        O(batch) write cost instead of a copy-on-write rewrite of every
+        affected data file. Read amplification accrues instead (each
+        scan anti-joins the accumulated tuples) until
+        ``rewrite_data_files`` applies and retires them — the standard
+        MoR trade, now available on the upsert path; the streaming sink
+        exposes it as ``merge_mode='mor'``."""
+        if not key_cols:
+            raise ValueError("upsert_by_key: key_cols must be non-empty")
+        meta = self._read_metadata()
+        eq_entry = self._write_equality_delete_file(
+            df.select(*key_cols), key_cols, meta
+        )
+        data_entries = self._write_data_files(df, meta)
+        return self._snapshot_commit(
+            data_entries + [eq_entry],
+            "overwrite",  # the spec's row-delta operation label
+            {"saber.delete-mode": "merge-on-read-equality",
+             **(summary_extra or {})},
+            carry_manifests=True,
+        )
+
+    def _write_equality_delete_file(
+        self, keys: DataFrame, cols: list[str] | None, meta: dict
+    ) -> dict:
+        cols = list(cols or keys.columns)
+        by_name = {f["name"]: f["id"] for f in self._schema_fields(meta)}
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"equality delete: columns {missing} not in the "
+                f"current schema ({sorted(by_name)})"
+            )
+        if not cols:
+            raise ValueError("equality delete: needs at least one column")
+        stage = os.path.join(self.data_dir, f".stage-eq-{uuid.uuid4().hex}")
+        keys.select(*cols).distinct().coalesce(1).write.parquet(stage)
+        dst = os.path.join(self.data_dir, f"eqdelete-{uuid.uuid4().hex}.parquet")
+        part = next(
+            os.path.join(stage, fn)
+            for fn in os.listdir(stage)
+            if fn.endswith(".parquet")
+        )
+        os.rename(part, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        return {
+            "content": 2,  # spec v2: equality deletes
+            "file_path": dst,
+            "file_format": "PARQUET",
+            "partition": {},
+            "equality-ids": [by_name[c] for c in cols],
+            "schema-id": meta["current-schema-id"],
+            **_file_stats(dst),
+        }
+
+    def equality_delete_files(self, snapshot_id=None, as_of_ms=None) -> list[dict]:
+        """Live EQUALITY-DELETE files (spec v2 content=2) of one snapshot."""
+        return [
+            d
+            for d in self._live_entries(snapshot_id, as_of_ms)
+            if d.get("content", 0) == 2
+        ]
+
+    def _apply_equality_deletes(
+        self, spark: SparkSession, meta: dict, df: DataFrame, eq_entries: list[dict]
+    ) -> DataFrame:
+        """Anti-join ``df`` against the tuples of ``eq_entries``,
+        null-safe, grouping delete files that share an equality-id set
+        into one join. Field ids resolve through each delete file's
+        writer schema, so renames after the delete keep matching."""
+        cur_by_id = {f["id"]: f["name"] for f in self._schema_fields(meta)}
+        groups: dict[tuple, list[dict]] = {}
+        for e in eq_entries:
+            groups.setdefault(tuple(sorted(e["equality-ids"])), []).append(e)
+        for ids, entries in groups.items():
+            missing = [i for i in ids if i not in cur_by_id]
+            if missing:
+                raise ValueError(
+                    f"equality delete references dropped field ids {missing}"
+                )
+            parts = []
+            for e in entries:
+                wf = {
+                    f["id"]: f["name"]
+                    for f in self._schema_fields(
+                        meta, int(e.get("schema-id", 0))
+                    )
+                }
+                d = spark.read.parquet(e["file_path"]).select(
+                    *[F.col(wf[i]).alias(f"_eq_{i}") for i in ids]
+                )
+                parts.append(d)
+            dels = parts[0]
+            for p in parts[1:]:
+                dels = dels.unionByName(p)
+            cond = None
+            for i in ids:
+                c = F.col(cur_by_id[i]).eqNullSafe(F.col(f"_eq_{i}"))
+                cond = c if cond is None else (cond & c)
+            df = df.join(F.broadcast(dels.distinct()), cond, "left_anti")
+        return df
+
+    @staticmethod
+    def _data_seq(d: dict) -> int:
+        # entries predating the stamp read as oldest (seq 0): every
+        # equality delete applies — conservative for pre-existing tables
+        return int(d.get("data-seq", 0))
+
+    def _read_with_all_deletes(
+        self,
+        spark: SparkSession,
+        meta: dict,
+        file_entries: list[dict],
+        pos_del_paths: list[str] | None,
+        eq_entries: list[dict],
+    ) -> DataFrame:
+        """The full merge-on-read view: position deletes fold in per
+        file; equality deletes apply per data-sequence CLASS (a delete
+        hits only files with strictly lower data-seq), so files are
+        grouped by their applicable-delete set — the class count is
+        bounded by the number of distinct equality-delete sequence
+        cutpoints, not by file count."""
+        if not eq_entries:
+            return self._read_data_entries(
+                spark, meta, file_entries, pos_del_paths
+            )
+        classes: dict[frozenset, list[dict]] = {}
+        for fe in file_entries:
+            appl = frozenset(
+                e["file_path"]
+                for e in eq_entries
+                if self._data_seq(e) > self._data_seq(fe)
+            )
+            classes.setdefault(appl, []).append(fe)
+        by_path = {e["file_path"]: e for e in eq_entries}
+        parts = []
+        for appl, fls in classes.items():
+            part = self._read_data_entries(spark, meta, fls, pos_del_paths)
+            if appl:
+                part = self._apply_equality_deletes(
+                    spark, meta, part, [by_path[p] for p in sorted(appl)]
+                )
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def merge_into(
         self,
         spark: SparkSession,
@@ -1071,7 +1334,9 @@ class IcebergTable:
             return self._snapshot(meta) or {}
         all_live = self._live_files(meta)
         known_dels = {
-            p for p, d in all_live.items() if d.get("content", 0) == 1
+            p
+            for p, d in all_live.items()
+            if d.get("content", 0) in (1, 2)
         }
         live = [d for d in all_live.values() if d.get("content", 0) == 0]
         affected, carried_n = [], 0
@@ -1122,7 +1387,9 @@ class IcebergTable:
         compacting."""
         meta = self._read_metadata()
         live = self._live_files(meta)
-        deletes = [d for d in live.values() if d.get("content", 0) == 1]
+        deletes = [
+            d for d in live.values() if d.get("content", 0) in (1, 2)
+        ]
         del_targets = {
             p for d in deletes for p in d.get("referenced_data_files", [])
         }
@@ -1186,7 +1453,7 @@ class IcebergTable:
         live = self._live_files(meta)
         data = [d for d in live.values() if d.get("content", 0) == 0]
         deletes = {
-            p for p, d in live.items() if d.get("content", 0) == 1
+            p for p, d in live.items() if d.get("content", 0) in (1, 2)
         }
         if not data:
             return None
@@ -1283,7 +1550,7 @@ class IcebergTable:
             )
         live = self._live_files(meta)
         data = [d for d in live.values() if d.get("content", 0) == 0]
-        deletes = {p for p, d in live.items() if d.get("content", 0) == 1}
+        deletes = {p for p, d in live.items() if d.get("content", 0) in (1, 2)}
         if not data:
             return None
         df = self._read_paths(
@@ -1438,6 +1705,17 @@ class IcebergTable:
                 raise ValueError(
                     f"{name!r} is a partition source column — drop the "
                     "partition spec first"
+                )
+            fid = next(f["id"] for f in fields if f["name"] == name)
+            eq_refs = [
+                d["file_path"]
+                for d in self._live_files(base).values()
+                if d.get("content", 0) == 2 and fid in d.get("equality-ids", [])
+            ]
+            if eq_refs:
+                raise ValueError(
+                    f"{name!r} is referenced by live equality-delete "
+                    f"files ({eq_refs[:2]}) — compact them away first"
                 )
             return self._evolved(
                 base, [f for f in fields if f["name"] != name]
@@ -1653,8 +1931,11 @@ class IcebergTable:
         del_paths = [
             d["file_path"] for d in entries if d.get("content", 0) == 1
         ]
+        eq_entries = [d for d in entries if d.get("content", 0) == 2]
         # field-id column resolution + merge-on-read in one grouped read
-        df = self._read_data_entries(spark, meta, files, del_paths or None)
+        df = self._read_with_all_deletes(
+            spark, meta, files, del_paths or None, eq_entries
+        )
         if filters:
             for col, op, val in filters:  # residual row-level filter
                 ops = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
@@ -2080,6 +2361,19 @@ def _cdc_diff(prev: dict, cur: dict) -> dict:
     new deletes may reference. A delete entry missing
     ``referenced_data_files`` (an external/older writer) falls back to
     ALL prev data files: conservative, never loses a delete event."""
+    eq_live = [
+        p
+        for s in (cur, prev)
+        for p, d in s.items()
+        if d.get("content", 0) == 2
+    ]
+    if eq_live:
+        raise ValueError(
+            "changelog reads do not support equality deletes yet "
+            f"(live: {sorted(set(eq_live))[:2]}) — compact first "
+            "(rewrite_data_files applies and retires them) or consume "
+            "position-delete history"
+        )
     added_data = [
         d for p, d in cur.items() if d.get("content", 0) == 0 and p not in prev
     ]

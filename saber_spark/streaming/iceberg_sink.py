@@ -50,11 +50,22 @@ class ExactlyOnceIcebergSink:
         event_ts_col: str | None = None,
         coalesce: int | None = None,
         merge_keys: list[str] | None = None,
+        merge_mode: str = "cow",
     ) -> None:
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError("merge_mode must be 'cow' or 'mor'")
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.query_name = query_name
         self.event_ts_col = event_ts_col
+        # with merge_keys: 'cow' MERGEs each batch copy-on-write (write
+        # amplification ∝ affected data files — read-free afterwards),
+        # 'mor' commits the batch's rows + an equality-delete of their
+        # keys in ONE snapshot (upsert_by_key: O(batch) writes per
+        # trigger — the only sane shape when update-mode re-emits keys
+        # every batch at scale; readers anti-join the accumulated tuples
+        # until rewrite_data_files folds them). Same exactly-once tags.
+        self.merge_mode = merge_mode
         # update-mode upsert: when set, each micro-batch is MERGEd into
         # the table on these key columns (copy-on-write, one snapshot)
         # instead of appended — the production shape for update-mode
@@ -110,7 +121,11 @@ class ExactlyOnceIcebergSink:
                     for p, v in zip(LATENCY_PCTS, row["pcts"]):
                         summary[f"saber.latency-p{int(p * 100)}-ms"] = f"{v:.3f}"
             try:
-                if self.merge_keys:
+                if self.merge_keys and self.merge_mode == "mor":
+                    self.table.upsert_by_key(
+                        df.sparkSession, df, self.merge_keys, summary_extra=summary
+                    )
+                elif self.merge_keys:
                     self.table.merge_into(
                         df.sparkSession, df, self.merge_keys, summary_extra=summary
                     )
