@@ -1217,13 +1217,54 @@ class IcebergTable:
             if d.get("content", 0) == 2
         ]
 
-    def _apply_equality_deletes(
-        self, spark: SparkSession, meta: dict, df: DataFrame, eq_entries: list[dict]
+    @staticmethod
+    def _data_seq(d: dict) -> int:
+        # entries predating the stamp read as oldest (seq 0): every
+        # equality delete applies — conservative for pre-existing tables
+        return int(d.get("data-seq", 0))
+
+    def _read_with_all_deletes(
+        self,
+        spark: SparkSession,
+        meta: dict,
+        file_entries: list[dict],
+        pos_del_paths: list[str] | None,
+        eq_entries: list[dict],
     ) -> DataFrame:
-        """Anti-join ``df`` against the tuples of ``eq_entries``,
-        null-safe, grouping delete files that share an equality-id set
-        into one join. Field ids resolve through each delete file's
-        writer schema, so renames after the delete keep matching."""
+        """The full merge-on-read view in ONE pass over the data: every
+        file is read once with its row address kept, position deletes
+        anti-join on (file, pos), and equality deletes anti-join with
+        the data-sequence rule folded INTO the join condition — each
+        row carries its file's data-seq (broadcast path→seq map), each
+        delete tuple carries its own seq, and the null-safe key match
+        requires ``tuple_seq > row_seq``. One anti-join per distinct
+        equality-id set, never a per-sequence-class re-read of the
+        corpus. Field ids resolve through each delete file's writer
+        schema, so renames after the delete keep matching."""
+        if not eq_entries:
+            return self._read_data_entries(
+                spark, meta, file_entries, pos_del_paths
+            )
+        cols = [f["name"] for f in self._schema_fields(meta)]
+        df = self._read_entries_with_pos(spark, meta, file_entries)
+        if pos_del_paths:
+            pdels = spark.read.parquet(*sorted(pos_del_paths)).select(
+                F.col("file_path").alias("_del_fp"),
+                F.col("pos").alias("_del_pos"),
+            )
+            df = df.join(
+                F.broadcast(pdels),
+                (F.col("_fp") == F.col("_del_fp"))
+                & (F.col("_pos") == F.col("_del_pos")),
+                "left_anti",
+            )
+        seq_df = spark.createDataFrame(
+            [(e["file_path"], self._data_seq(e)) for e in file_entries],
+            "_sq_fp string, _fseq long",
+        )
+        df = df.join(
+            F.broadcast(seq_df), F.col("_fp") == F.col("_sq_fp"), "left"
+        ).drop("_sq_fp")
         cur_by_id = {f["id"]: f["name"] for f in self._schema_fields(meta)}
         groups: dict[tuple, list[dict]] = {}
         for e in eq_entries:
@@ -1242,65 +1283,20 @@ class IcebergTable:
                         meta, int(e.get("schema-id", 0))
                     )
                 }
-                d = spark.read.parquet(e["file_path"]).select(
-                    *[F.col(wf[i]).alias(f"_eq_{i}") for i in ids]
+                parts.append(
+                    spark.read.parquet(e["file_path"]).select(
+                        *[F.col(wf[i]).alias(f"_eq_{i}") for i in ids],
+                        F.lit(self._data_seq(e)).cast("long").alias("_eqseq"),
+                    )
                 )
-                parts.append(d)
             dels = parts[0]
             for p in parts[1:]:
                 dels = dels.unionByName(p)
-            cond = None
+            cond = F.col("_eqseq") > F.col("_fseq")
             for i in ids:
-                c = F.col(cur_by_id[i]).eqNullSafe(F.col(f"_eq_{i}"))
-                cond = c if cond is None else (cond & c)
+                cond = cond & F.col(cur_by_id[i]).eqNullSafe(F.col(f"_eq_{i}"))
             df = df.join(F.broadcast(dels.distinct()), cond, "left_anti")
-        return df
-
-    @staticmethod
-    def _data_seq(d: dict) -> int:
-        # entries predating the stamp read as oldest (seq 0): every
-        # equality delete applies — conservative for pre-existing tables
-        return int(d.get("data-seq", 0))
-
-    def _read_with_all_deletes(
-        self,
-        spark: SparkSession,
-        meta: dict,
-        file_entries: list[dict],
-        pos_del_paths: list[str] | None,
-        eq_entries: list[dict],
-    ) -> DataFrame:
-        """The full merge-on-read view: position deletes fold in per
-        file; equality deletes apply per data-sequence CLASS (a delete
-        hits only files with strictly lower data-seq), so files are
-        grouped by their applicable-delete set — the class count is
-        bounded by the number of distinct equality-delete sequence
-        cutpoints, not by file count."""
-        if not eq_entries:
-            return self._read_data_entries(
-                spark, meta, file_entries, pos_del_paths
-            )
-        classes: dict[frozenset, list[dict]] = {}
-        for fe in file_entries:
-            appl = frozenset(
-                e["file_path"]
-                for e in eq_entries
-                if self._data_seq(e) > self._data_seq(fe)
-            )
-            classes.setdefault(appl, []).append(fe)
-        by_path = {e["file_path"]: e for e in eq_entries}
-        parts = []
-        for appl, fls in classes.items():
-            part = self._read_data_entries(spark, meta, fls, pos_del_paths)
-            if appl:
-                part = self._apply_equality_deletes(
-                    spark, meta, part, [by_path[p] for p in sorted(appl)]
-                )
-            parts.append(part)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return df.select(*cols)
 
     def merge_into(
         self,
