@@ -46,11 +46,17 @@ _merge = st.tuples(
     st.just("merge"),
     st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=4),
 )
+_upsert = st.tuples(  # merge-on-read row-delta (equality deletes)
+    st.just("upsert"),
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=4),
+)
 _compact = st.tuples(st.just("compact"), st.none())
 _expire = st.tuples(st.just("expire"), st.none())
 
 OPS = st.lists(
-    st.one_of(_append, _delete, _delete_mor, _merge, _compact, _expire),
+    st.one_of(
+        _append, _delete, _delete_mor, _merge, _upsert, _compact, _expire
+    ),
     min_size=3,
     max_size=7,
 )
@@ -96,11 +102,13 @@ def test_table_state_machine_matches_model(spark, ops, data):
             model = Counter(
                 {t: n for t, n in model.items() if t[1] != arg}
             )
-        elif kind == "merge":
+        elif kind in ("merge", "upsert"):
             rows = [_row(i, tag) for i in set(arg)]
-            table.merge_into(
-                spark, spark.createDataFrame(rows, SCHEMA), ["id"]
-            )
+            src = spark.createDataFrame(rows, SCHEMA)
+            if kind == "merge":
+                table.merge_into(spark, src, ["id"])
+            else:  # same semantics, merge-on-read row-delta
+                table.upsert_by_key(spark, src, ["id"])
             ids = {r[0] for r in rows}
             model = Counter({t: n for t, n in model.items() if t[0] not in ids})
             model.update(rows)
@@ -127,10 +135,16 @@ def test_table_state_machine_matches_model(spark, ops, data):
         ia = data.draw(st.integers(0, len(history) - 2))
         ib = data.draw(st.integers(ia + 1, len(history) - 1))
         (s_from, m_from), (s_to, m_to) = history[ia], history[ib]
+        try:
+            rows_out = table.changes(
+                spark, from_snapshot_id=s_from, to_snapshot_id=s_to
+            ).collect()
+        except ValueError as ex:
+            # ranges crossing a live equality delete refuse by design
+            assert "equality deletes" in str(ex)
+            return
         folded = Counter(m_from)
-        for r in table.changes(
-            spark, from_snapshot_id=s_from, to_snapshot_id=s_to
-        ).collect():
+        for r in rows_out:
             key = (r["id"], r["grp"], r["val"])
             if r["_change_type"] == "insert":
                 folded[key] += 1
