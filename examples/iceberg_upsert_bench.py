@@ -80,8 +80,11 @@ def main() -> None:
     # both paths must agree on final content
     a = IcebergTable.load(os.path.join(REPO, ".tmp", "upsert_bench_cow"))
     b = IcebergTable.load(os.path.join(REPO, ".tmp", "upsert_bench_mor"))
-    ca = a.scan(spark).selectExpr("sum(crc32(concat(conv_id, turn_idx, text)))").first()[0]
-    cb = b.scan(spark).selectExpr("sum(crc32(concat(conv_id, turn_idx, text)))").first()[0]
+    # '|' separators: without them ('conv-1', 11) and ('conv-11', 1)
+    # would alias to the same checksum input
+    chk = "sum(crc32(concat_ws('|', conv_id, turn_idx, text)))"
+    ca = a.scan(spark).selectExpr(chk).first()[0]
+    cb = b.scan(spark).selectExpr(chk).first()[0]
     assert ca == cb, "cow and mor upserts diverged"
     print({"content_checksum_match": True}, flush=True)
 

@@ -220,7 +220,8 @@ def extract_features(
     matrix, all vectorized NumPy inside one ``mapInPandas`` pass. The
     output column is exactly the ``embedding`` shape the ANN layer
     consumes, so media near-dup = extract_features → similarity ops
-    (RP-LSH / IVF) with no adapter.
+    (RP-LSH / IVF) with no adapter. Empty/NULL payloads yield a NULL
+    embedding (explicit absence — filter before the ANN stage).
     """
     if dim < 1:
         raise ValueError("extract_features: dim must be >= 1")
@@ -231,7 +232,11 @@ def extract_features(
             out = []
             for p in b[payload_col]:
                 if p is None or len(p) == 0:
-                    out.append([0.0] * dim)
+                    # no content, no feature: NULL is explicit absence
+                    # (a zero vector would silently vanish from cosine
+                    # results — undefined norm — instead of being
+                    # filterable)
+                    out.append(None)
                     continue
                 hist = np.bincount(
                     np.frombuffer(p, dtype=np.uint8), minlength=256

@@ -109,7 +109,16 @@ class ChangePartition(InputPartition):
                      snapshot) minus positions in ``prior_delete_paths``
                      (delete files live before — a TRIMMED carry
                      re-states old positions and must not re-announce).
+      'delete-eq'  — new EQUALITY deletes may match rows of
+                     ``file_path``: emit the still-live rows (parent
+                     position deletes in ``delete_paths`` and parent
+                     tuples in ``eq_prior`` applied) that value-match
+                     ``eq_new`` under the data-sequence rule.
 
+    ``eq_prior``/``eq_new``: equality-delete specs, each
+    ``(path, seq, ((file_col, current_col), ...))`` — tuples apply to
+    this file only when ``seq > file_seq``; every delete kind applies
+    ``eq_prior`` so rows already dead by value never re-announce.
     ``ordinal``/``snapshot_id`` stamp the emitted rows' CDC columns."""
 
     kind: str
@@ -120,6 +129,9 @@ class ChangePartition(InputPartition):
     absent: tuple = ()
     ordinal: int = 0
     snapshot_id: int = 0
+    eq_prior: tuple = ()
+    eq_new: tuple = ()
+    file_seq: int = 0
 
 
 _OPS = {
@@ -258,6 +270,45 @@ def _read_deleted_rows(
     )
     table = pa.Table.from_batches(batches, schema=arrow_schema)
     yield from table.take(new_pos).to_batches()
+
+
+def _eq_match_mask(pdf, eq_specs: tuple, file_seq: int):
+    """Boolean mask: row value-matches ANY tuple of a spec whose seq is
+    strictly greater than the file's (the data-sequence rule), NULL-SAFE
+    — both sides normalize nulls to one sentinel object, matching the
+    JVM path's eqNullSafe semantics exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    mask = np.zeros(len(pdf), dtype=bool)
+    sentinel = "\x00__NULL__"
+
+    def norm(s: "pd.Series") -> "pd.Series":
+        o = s.astype(object)
+        return o.where(pd.notna(o), sentinel)
+
+    for path, seq, pairs in eq_specs:
+        if seq <= file_seq or not len(pdf):
+            continue
+        tup = pq.read_table(path, columns=[fc for fc, _cc in pairs]).to_pandas()
+        tup.columns = [cc for _fc, cc in pairs]
+        cols = list(tup.columns)
+        left = pd.DataFrame({c: norm(pdf[c]) for c in cols})
+        right = pd.DataFrame({c: norm(tup[c]) for c in cols}).drop_duplicates()
+        merged = left.merge(right, on=cols, how="left", indicator=True)
+        mask |= (merged["_merge"] == "both").to_numpy()
+    return mask
+
+
+def _drop_eq_matches(table, eq_specs: tuple, file_seq: int):
+    """Arrow-table filter: remove rows matching prior equality tuples."""
+    if not eq_specs or table.num_rows == 0:
+        return table
+    import numpy as np
+
+    mask = _eq_match_mask(table.to_pandas(), eq_specs, file_seq)
+    return table.take(np.nonzero(~mask)[0])
 
 
 def _with_cdc_columns(batches: Iterator, kind: str, ordinal: int, sid: int):
@@ -454,6 +505,12 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
                              deletes to rows (minus prior-named
                              positions, so trimmed carries never
                              re-announce)
+    - equality delete / MoR upsert
+                           → 'delete-eq' tasks value-match the new
+                             tuples against still-live parent rows
+                             under the data-sequence rule (null-safe,
+                             identical to batch changes() — parity
+                             tested)
     - copy-on-write delete / MERGE / overwrite
                            → removed files read as 'delete' events (with
                              the parent's MoR deletes applied), added
@@ -515,6 +572,19 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
 
         from saber_spark.sources.iceberg_format import _cdc_diff
 
+        cur_by_id = {f["id"]: f["name"] for f in table._schema_fields(meta)}
+
+        def eq_spec(e: dict) -> tuple:
+            wf = {
+                f["id"]: f["name"]
+                for f in table._schema_fields(meta, int(e.get("schema-id", 0)))
+            }
+            return (
+                e["file_path"],
+                int(e.get("data-seq", 0)),
+                tuple((wf[i], cur_by_id[i]) for i in e["equality-ids"]),
+            )
+
         parts: list[ChangePartition] = []
         for i, s in enumerate(snaps):
             cur = {
@@ -530,6 +600,8 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
             new_dels = tuple(
                 sorted(d["file_path"] for d in diff["added_dels"])
             )
+            prev_eq = tuple(eq_spec(e) for e in diff["prev_eq"])
+            new_eq = tuple(eq_spec(e) for e in diff["added_eq"])
             for d in diff["added_data"]:
                 parts.append(
                     ChangePartition(
@@ -541,6 +613,8 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
                     ChangePartition(
                         "delete-file", d["file_path"], prev_dels, (),
                         *res(d), i, sid,
+                        eq_prior=prev_eq,
+                        file_seq=int(d.get("data-seq", 0)),
                     )
                 )
             for d in diff["delete_targets"]:
@@ -548,6 +622,18 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
                     ChangePartition(
                         "delete-pos", d["file_path"], new_dels, prev_dels,
                         *res(d), i, sid,
+                        eq_prior=prev_eq,
+                        file_seq=int(d.get("data-seq", 0)),
+                    )
+                )
+            for d in diff["eq_targets"]:
+                parts.append(
+                    ChangePartition(
+                        "delete-eq", d["file_path"], prev_dels, (),
+                        *res(d), i, sid,
+                        eq_prior=prev_eq,
+                        eq_new=new_eq,
+                        file_seq=int(d.get("data-seq", 0)),
                     )
                 )
             prev = cur
@@ -556,39 +642,65 @@ class IcebergChangelogStreamReader(IcebergStreamReader):
     def read(self, partition: ChangePartition) -> Iterator:
         if partition is None:
             return
-        if partition.kind == "insert":
+        import numpy as np
+        import pyarrow as pa
+
+        p = partition
+        eq_prior = getattr(p, "eq_prior", ())
+        if p.kind == "insert":
             batches = _read_file_batches(
-                partition.file_path,
-                self.arrow_schema,
-                (),
-                partition.renames,
-                partition.absent,
+                p.file_path, self.arrow_schema, (), p.renames, p.absent
             )
             yield from _with_cdc_columns(
-                batches, "insert", partition.ordinal, partition.snapshot_id
+                batches, "insert", p.ordinal, p.snapshot_id
             )
-        elif partition.kind == "delete-file":
-            batches = _read_file_batches(
-                partition.file_path,
-                self.arrow_schema,
-                partition.delete_paths,
-                partition.renames,
-                partition.absent,
+            return
+        if p.kind == "delete-file":
+            batches = list(
+                _read_file_batches(
+                    p.file_path,
+                    self.arrow_schema,
+                    p.delete_paths,
+                    p.renames,
+                    p.absent,
+                )
             )
+        elif p.kind == "delete-pos":
+            batches = list(
+                _read_deleted_rows(
+                    p.file_path,
+                    self.arrow_schema,
+                    p.delete_paths,
+                    p.prior_delete_paths,
+                    p.renames,
+                    p.absent,
+                )
+            )
+        else:  # delete-eq: still-live rows value-matching the new tuples
+            batches = list(
+                _read_file_batches(
+                    p.file_path,
+                    self.arrow_schema,
+                    p.delete_paths,  # parent position deletes
+                    p.renames,
+                    p.absent,
+                )
+            )
+        if not batches:
+            return
+        table = pa.Table.from_batches(batches, schema=self.arrow_schema)
+        # rows already dead by value at the parent never re-announce
+        table = _drop_eq_matches(table, eq_prior, p.file_seq)
+        if p.kind == "delete-eq":
+            if table.num_rows == 0:
+                return
+            mask = _eq_match_mask(
+                table.to_pandas(), getattr(p, "eq_new", ()), p.file_seq
+            )
+            table = table.take(np.nonzero(mask)[0])
+        if table.num_rows:
             yield from _with_cdc_columns(
-                batches, "delete", partition.ordinal, partition.snapshot_id
-            )
-        else:  # delete-pos
-            batches = _read_deleted_rows(
-                partition.file_path,
-                self.arrow_schema,
-                partition.delete_paths,
-                partition.prior_delete_paths,
-                partition.renames,
-                partition.absent,
-            )
-            yield from _with_cdc_columns(
-                batches, "delete", partition.ordinal, partition.snapshot_id
+                table.to_batches(), "delete", p.ordinal, p.snapshot_id
             )
 
 

@@ -569,9 +569,33 @@ class IcebergTable:
                 "schema-id": base["current-schema-id"],
                 "summary": {
                     "operation": operation,
-                    "added-data-files": str(len(data_files)),
+                    # DATA entries only: delete files are tuples/positions,
+                    # not rows — counting them would skew lineage() and
+                    # any files-written accounting
+                    "added-data-files": str(
+                        len([d for d in data_files if d.get("content", 0) == 0])
+                    ),
                     "added-records": str(
-                        sum(d["record_count"] for d in data_files)
+                        sum(
+                            d["record_count"]
+                            for d in data_files
+                            if d.get("content", 0) == 0
+                        )
+                    ),
+                    **(
+                        {
+                            "added-delete-files": str(
+                                len(
+                                    [
+                                        d
+                                        for d in data_files
+                                        if d.get("content", 0) != 0
+                                    ]
+                                )
+                            )
+                        }
+                        if any(d.get("content", 0) != 0 for d in data_files)
+                        else {}
                     ),
                     **(summary_extra or {}),
                 },
@@ -851,6 +875,15 @@ class IcebergTable:
         return self._commit(build)
 
     @staticmethod
+    def _pos_delete_frame(spark: SparkSession, paths: list[str]) -> DataFrame:
+        """The (file, position) delete set as a joinable frame — shared
+        by every position-delete anti-join site."""
+        return spark.read.parquet(*sorted(paths)).select(
+            F.col("file_path").alias("_del_fp"),
+            F.col("pos").alias("_del_pos"),
+        )
+
+    @staticmethod
     def _apply_position_deletes(
         spark: SparkSession, df: DataFrame, delete_paths: list[str]
     ) -> DataFrame:
@@ -860,9 +893,7 @@ class IcebergTable:
         row indices in the ORIGINAL immutable file, so the join is exact
         at any parallelism. AQE broadcasts the (typically tiny) delete
         side; zero overhead when no delete files exist (caller skips)."""
-        dels = spark.read.parquet(*delete_paths).select(
-            F.col("file_path").alias("_del_fp"), F.col("pos").alias("_del_pos")
-        )
+        dels = IcebergTable._pos_delete_frame(spark, delete_paths)
         fp = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
         cols = df.columns
         return (
@@ -1135,6 +1166,8 @@ class IcebergTable:
         referenced column is refused while the delete is live."""
         meta = self._read_metadata()
         entry = self._write_equality_delete_file(keys, cols, meta)
+        if entry is None:
+            return meta  # zero tuples: a no-op must not poison readers
         return self._snapshot_commit(
             [entry],
             "delete",
@@ -1164,12 +1197,30 @@ class IcebergTable:
         if not key_cols:
             raise ValueError("upsert_by_key: key_cols must be non-empty")
         meta = self._read_metadata()
-        eq_entry = self._write_equality_delete_file(
-            df.select(*key_cols), key_cols, meta
-        )
-        data_entries = self._write_data_files(df, meta)
+        # one evaluation of the input: the key tuples and the data files
+        # must come from the SAME rows, or a non-deterministic source
+        # could delete keys it never re-inserts (or vice versa)
+        df = df.persist()
+        try:
+            # MERGE semantics for NULL keys: SQL MERGE's equality ON
+            # never matches NULLs, so a null-key row always inserts and
+            # never retires prior null-key rows — drop null-key tuples
+            # from the delete (delete_by_equality stays null-safe: a
+            # DELETE by value is a different contract)
+            key_pred = None
+            for k in key_cols:
+                c = F.col(k).isNotNull()
+                key_pred = c if key_pred is None else (key_pred & c)
+            eq_entry = self._write_equality_delete_file(
+                df.select(*key_cols).where(key_pred), key_cols, meta
+            )
+            data_entries = self._write_data_files(df, meta)
+        finally:
+            df.unpersist()
+        if not data_entries and eq_entry is None:
+            return meta  # empty batch: nothing to commit
         return self._snapshot_commit(
-            data_entries + [eq_entry],
+            data_entries + ([eq_entry] if eq_entry is not None else []),
             "overwrite",  # the spec's row-delta operation label
             {"saber.delete-mode": "merge-on-read-equality",
              **(summary_extra or {})},
@@ -1178,7 +1229,7 @@ class IcebergTable:
 
     def _write_equality_delete_file(
         self, keys: DataFrame, cols: list[str] | None, meta: dict
-    ) -> dict:
+    ) -> dict | None:
         cols = list(cols or keys.columns)
         by_name = {f["name"]: f["id"] for f in self._schema_fields(meta)}
         missing = [c for c in cols if c not in by_name]
@@ -1199,6 +1250,10 @@ class IcebergTable:
         )
         os.rename(part, dst)
         shutil.rmtree(stage, ignore_errors=True)
+        stats = _file_stats(dst)
+        if stats["record_count"] == 0:
+            os.remove(dst)  # zero tuples delete nothing — skip (the
+            return None  # position-delete writer has the same rule)
         return {
             "content": 2,  # spec v2: equality deletes
             "file_path": dst,
@@ -1206,7 +1261,7 @@ class IcebergTable:
             "partition": {},
             "equality-ids": [by_name[c] for c in cols],
             "schema-id": meta["current-schema-id"],
-            **_file_stats(dst),
+            **stats,
         }
 
     def equality_delete_files(self, snapshot_id=None, as_of_ms=None) -> list[dict]:
@@ -1230,6 +1285,7 @@ class IcebergTable:
         file_entries: list[dict],
         pos_del_paths: list[str] | None,
         eq_entries: list[dict],
+        keep_addr: bool = False,
     ) -> DataFrame:
         """The full merge-on-read view in ONE pass over the data: every
         file is read once with its row address kept, position deletes
@@ -1240,18 +1296,18 @@ class IcebergTable:
         requires ``tuple_seq > row_seq``. One anti-join per distinct
         equality-id set, never a per-sequence-class re-read of the
         corpus. Field ids resolve through each delete file's writer
-        schema, so renames after the delete keep matching."""
-        if not eq_entries:
+        schema, so renames after the delete keep matching.
+        ``keep_addr``: also return the ``(_fp, _pos, _fseq)`` row
+        address columns (the changelog's eq-delete resolution needs
+        them; plain scans drop them)."""
+        if not eq_entries and not keep_addr:
             return self._read_data_entries(
                 spark, meta, file_entries, pos_del_paths
             )
         cols = [f["name"] for f in self._schema_fields(meta)]
         df = self._read_entries_with_pos(spark, meta, file_entries)
         if pos_del_paths:
-            pdels = spark.read.parquet(*sorted(pos_del_paths)).select(
-                F.col("file_path").alias("_del_fp"),
-                F.col("pos").alias("_del_pos"),
-            )
+            pdels = self._pos_delete_frame(spark, pos_del_paths)
             df = df.join(
                 F.broadcast(pdels),
                 (F.col("_fp") == F.col("_del_fp"))
@@ -1265,38 +1321,62 @@ class IcebergTable:
         df = df.join(
             F.broadcast(seq_df), F.col("_fp") == F.col("_sq_fp"), "left"
         ).drop("_sq_fp")
+        for ids, cond, dels in self._eq_tuple_frames(spark, meta, eq_entries):
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+        if keep_addr:
+            return df.select(*cols, "_fp", "_pos", "_fseq")
+        return df.select(*cols)
+
+    def _eq_tuple_frames(
+        self, spark: SparkSession, meta: dict, eq_entries: list[dict]
+    ):
+        """Per (equality-id set, writer schema) group: the tuple frame
+        (columns ``_eq_<id>…`` + each tuple's ``_eqseq``) and the join
+        condition against a row frame that carries ``_fseq`` — ONE
+        parquet read per group however many delta files have accrued
+        (a per-file read+union would grow the plan linearly with every
+        mor-mode micro-batch); each tuple's own seq attaches via a
+        broadcast path→seq map. Yields (ids, condition, frame)."""
         cur_by_id = {f["id"]: f["name"] for f in self._schema_fields(meta)}
         groups: dict[tuple, list[dict]] = {}
         for e in eq_entries:
-            groups.setdefault(tuple(sorted(e["equality-ids"])), []).append(e)
-        for ids, entries in groups.items():
+            key = (
+                tuple(sorted(e["equality-ids"])),
+                int(e.get("schema-id", 0)),
+            )
+            groups.setdefault(key, []).append(e)
+        for (ids, sid), entries in groups.items():
             missing = [i for i in ids if i not in cur_by_id]
             if missing:
                 raise ValueError(
                     f"equality delete references dropped field ids {missing}"
                 )
-            parts = []
-            for e in entries:
-                wf = {
-                    f["id"]: f["name"]
-                    for f in self._schema_fields(
-                        meta, int(e.get("schema-id", 0))
-                    )
-                }
-                parts.append(
-                    spark.read.parquet(e["file_path"]).select(
-                        *[F.col(wf[i]).alias(f"_eq_{i}") for i in ids],
-                        F.lit(self._data_seq(e)).cast("long").alias("_eqseq"),
-                    )
-                )
-            dels = parts[0]
-            for p in parts[1:]:
-                dels = dels.unionByName(p)
+            wf = {
+                f["id"]: f["name"]
+                for f in self._schema_fields(meta, sid)
+            }
+            fp = F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            )
+            raw = spark.read.parquet(
+                *sorted(e["file_path"] for e in entries)
+            ).select(
+                *[F.col(wf[i]).alias(f"_eq_{i}") for i in ids],
+                fp.alias("_eq_fp"),
+            )
+            eq_seq = spark.createDataFrame(
+                [(e["file_path"], self._data_seq(e)) for e in entries],
+                "_eqs_fp string, _eqseq long",
+            )
+            dels = raw.join(
+                F.broadcast(eq_seq),
+                F.col("_eq_fp") == F.col("_eqs_fp"),
+                "inner",
+            ).drop("_eq_fp", "_eqs_fp").distinct()
             cond = F.col("_eqseq") > F.col("_fseq")
             for i in ids:
                 cond = cond & F.col(cur_by_id[i]).eqNullSafe(F.col(f"_eq_{i}"))
-            df = df.join(F.broadcast(dels.distinct()), cond, "left_anti")
-        return df.select(*cols)
+            yield ids, cond, dels
 
     def merge_into(
         self,
@@ -1389,6 +1469,18 @@ class IcebergTable:
         del_targets = {
             p for d in deletes for p in d.get("referenced_data_files", [])
         }
+        # an equality delete targets every data file with a LOWER data
+        # sequence — those files must join the rewrite input or the
+        # delete can never retire (big files would otherwise never
+        # qualify and the guarded reader paths would stay blocked)
+        max_eq_seq = max(
+            (
+                self._data_seq(d)
+                for d in deletes
+                if d.get("content", 0) == 2
+            ),
+            default=None,
+        )
         small = [
             d
             for d in live.values()
@@ -1396,9 +1488,15 @@ class IcebergTable:
             and (
                 d["file_size_in_bytes"] < target_file_size_bytes // 2
                 or d["file_path"] in del_targets
+                or (
+                    max_eq_seq is not None
+                    and self._data_seq(d) < max_eq_seq
+                )
             )
         ]
-        if len(small) < min_input_files and not (small and del_targets):
+        if len(small) < min_input_files and not (
+            small and (del_targets or max_eq_seq is not None)
+        ):
             return None
         total = sum(d["file_size_in_bytes"] for d in small)
         n_out = max(1, -(-total // target_file_size_bytes))
@@ -2077,8 +2175,12 @@ class IcebergTable:
           previously-live delete set, so each deleted row is announced
           exactly once across the whole history.
 
-        Unlike ``incremental`` (which refuses non-append history), this
-        read is the general-history primitive: it is how a downstream
+        Equality deletes resolve to row events too: new tuples announce
+        the still-live parent rows they match under the data-sequence
+        rule, with the parent's own tuples and positions applied first
+        so nothing dead re-announces. Unlike ``incremental`` (which
+        refuses non-append history), this read is the general-history
+        primitive: it is how a downstream
         consumer replays a table that takes deletes and merges. All
         per-snapshot work is file-list diffing on the driver (bounded by
         manifest size); row reads are distributed scans of exactly the
@@ -2145,11 +2247,13 @@ class IcebergTable:
             if diff["removed_data"]:
                 parts.append(
                     stamp(
-                        self._read_data_entries(
+                        self._read_with_all_deletes(
                             spark,
                             meta,
                             diff["removed_data"],
                             diff["prev_del_paths"] or None,
+                            diff["prev_eq"],  # rows already dead via an
+                            # earlier equality delete must not re-announce
                         ),
                         "delete", i, sid,
                     )
@@ -2172,16 +2276,52 @@ class IcebergTable:
                         old_del, ["_del_fp", "_del_pos"], "left_anti"
                     )
                 if diff["delete_targets"]:
-                    rows = self._read_entries_with_pos(
-                        spark, meta, diff["delete_targets"]
+                    # parent eq tuples applied: a row already dead via an
+                    # earlier equality delete must not re-announce even
+                    # if a new position delete names its position (MoR
+                    # position writers compute positions over raw files)
+                    rows = self._read_with_all_deletes(
+                        spark,
+                        meta,
+                        diff["delete_targets"],
+                        None,  # prior positions excluded via new_del
+                        diff["prev_eq"],
+                        keep_addr=True,
                     )
                     hit = rows.join(
                         F.broadcast(new_del),
                         (F.col("_fp") == F.col("_del_fp"))
                         & (F.col("_pos") == F.col("_del_pos")),
                         "inner",
-                    )
+                    ).select(*cols)
                     parts.append(stamp(hit, "delete", i, sid))
+            if diff["added_eq"] and diff["eq_targets"]:
+                # new equality tuples: announce the still-live parent
+                # rows they match — parent view first (position deletes
+                # + the parent's own tuples applied), then one semi-join
+                # per new tuple group under the seq rule; a row matching
+                # several groups dedupes by its (file, position) address
+                base = self._read_with_all_deletes(
+                    spark,
+                    meta,
+                    diff["eq_targets"],
+                    diff["prev_del_paths"] or None,
+                    diff["prev_eq"],
+                    keep_addr=True,
+                )
+                hits = []
+                for _ids, cond, dels in self._eq_tuple_frames(
+                    spark, meta, diff["added_eq"]
+                ):
+                    hits.append(base.join(F.broadcast(dels), cond, "left_semi"))
+                h = hits[0]
+                for x in hits[1:]:
+                    h = h.unionByName(x)
+                if len(hits) > 1:
+                    h = h.dropDuplicates(["_fp", "_pos"])
+                parts.append(
+                    stamp(h.select(*cols), "delete", i, sid)
+                )
             prev = cur
         if not parts:
             return spark.createDataFrame([], change_ddl)
@@ -2357,19 +2497,6 @@ def _cdc_diff(prev: dict, cur: dict) -> dict:
     new deletes may reference. A delete entry missing
     ``referenced_data_files`` (an external/older writer) falls back to
     ALL prev data files: conservative, never loses a delete event."""
-    eq_live = [
-        p
-        for s in (cur, prev)
-        for p, d in s.items()
-        if d.get("content", 0) == 2
-    ]
-    if eq_live:
-        raise ValueError(
-            "changelog reads do not support equality deletes yet "
-            f"(live: {sorted(set(eq_live))[:2]}) — compact first "
-            "(rewrite_data_files applies and retires them) or consume "
-            "position-delete history"
-        )
     added_data = [
         d for p, d in cur.items() if d.get("content", 0) == 0 and p not in prev
     ]
@@ -2402,12 +2529,39 @@ def _cdc_diff(prev: dict, cur: dict) -> dict:
         if added_dels
         else []
     )
+    # equality deletes: new tuples announce the still-live parent rows
+    # they match; ``eq_targets`` bounds the value-matching read to data
+    # files whose data-seq any new tuple can apply to, and ``prev_eq``
+    # carries the parent's accumulated tuples so rows ALREADY dead via
+    # an earlier equality delete are not re-announced
+    def _seq(d: dict) -> int:
+        return int(d.get("data-seq", 0))
+
+    added_eq = [
+        d for p, d in cur.items() if d.get("content", 0) == 2 and p not in prev
+    ]
+    prev_eq = [d for d in prev.values() if d.get("content", 0) == 2]
+    max_new_eq = max((_seq(d) for d in added_eq), default=None)
+    eq_targets = (
+        [
+            d
+            for p, d in prev.items()
+            if d.get("content", 0) == 0
+            and p in cur
+            and _seq(d) < max_new_eq
+        ]
+        if max_new_eq is not None
+        else []
+    )
     return {
         "added_data": added_data,
         "removed_data": removed_data,
         "added_dels": added_dels,
         "prev_del_paths": prev_del_paths,
         "delete_targets": delete_targets,
+        "added_eq": added_eq,
+        "prev_eq": prev_eq,
+        "eq_targets": eq_targets,
     }
 
 

@@ -153,7 +153,7 @@ def test_equality_delete_survives_rename_by_field_id(spark):
         t.drop_column("tool_name")
 
 
-def test_equality_delete_guards_unfolding_paths(spark):
+def test_equality_delete_changelog_and_guards(spark):
     loc = _fresh("eq_guards")
     a = _turns(spark, 0, 4)
     t = IcebergTable.create(loc, a)
@@ -162,13 +162,28 @@ def test_equality_delete_guards_unfolding_paths(spark):
     t.delete_by_equality(
         spark, spark.createDataFrame([("user",)], "role string"), ["role"]
     )
+    # the CDC read RESOLVES equality deletes: exactly the matched rows
+    # announce as delete events
+    chg = t.changes(spark, from_snapshot_id=snap)
+    recs = chg.collect()
+    assert recs and all(r["_change_type"] == "delete" for r in recs)
+    assert {(r["conv_id"], r["turn_idx"]) for r in recs} == _keys(
+        a.where(F.col("role") == "user")
+    )
+    # a no-op (zero-tuple) equality delete commits nothing
+    n_snaps = len(t.snapshots())
+    t.delete_by_equality(
+        spark,
+        spark.createDataFrame([("zzz",)], "role string").where(F.lit(False)),
+        ["role"],
+    )
+    assert len(t.snapshots()) == n_snaps
+    # the per-file Arrow batch reader still refuses (scan() is the MoR view)
     from saber_spark.sources.iceberg_datasource import register_iceberg_source
 
     register_iceberg_source(spark)
     with pytest.raises(Exception, match="equality-delete"):
         spark.read.format("saber_iceberg").option("location", loc).load().collect()
-    with pytest.raises(ValueError, match="equality deletes"):
-        t.changes(spark, from_snapshot_id=snap).collect()
     with pytest.raises(ValueError, match="not in the\n?.*schema|not in the current schema"):
         t.delete_by_equality(
             spark, spark.createDataFrame([(1,)], "nope int"), ["nope"]
@@ -250,3 +265,68 @@ def test_mor_merge_sink_matches_cow_sink(spark):
         (r["window_start"], r["window_end"], r["n_turns"], r["sum_len"])
         for r in mor_table.scan(spark).collect()
     } == before
+
+
+def test_changelog_stream_resolves_equality_deletes(spark):
+    """The mode='changelog' stream announces equality-delete history
+    identically to batch changes(): upserts and value deletes resolve to
+    row events, rows dead by value never re-announce, and the MV stays
+    reconstructable."""
+    from saber_spark.streaming.jobs import read_iceberg_changelog_stream
+
+    loc, ckpt, out = (
+        _fresh("eq_cdc_src"), _fresh("eq_cdc_ckpt"), _fresh("eq_cdc_out"),
+    )
+    a = _turns(spark, 0, 4)
+    t = IcebergTable.create(loc, a)
+    t.append(a)
+    t.delete_by_equality(
+        spark, spark.createDataFrame([("code",)], "tool string"), ["tool"]
+    )
+    up = a.where(F.col("turn_idx") == 1).withColumn(
+        "text", F.concat(F.lit("edited: "), F.col("text"))
+    )
+    t.upsert_by_key(spark, up, ["conv_id", "turn_idx"])
+    t.delete_where(spark, [("turn_idx", "=", 3)], mode="merge-on-read")
+
+    q = (
+        read_iceberg_changelog_stream(spark, loc)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def events(df):
+        return sorted(
+            (
+                r["conv_id"], r["turn_idx"], r["text"],
+                r["_change_type"], r["_commit_snapshot_id"],
+            )
+            for r in df.select(
+                "conv_id", "turn_idx", "text",
+                "_change_type", "_commit_snapshot_id",
+            ).collect()
+        )
+
+    got = events(spark.read.parquet(out))
+    want = events(t.changes(spark))
+    assert got == want and len(got) > 0
+    # replaying the stream's events reconstructs the current snapshot
+    from collections import Counter
+
+    folded: Counter = Counter()
+    for r in spark.read.parquet(out).collect():
+        key = (r["conv_id"], r["turn_idx"], r["text"])
+        if r["_change_type"] == "insert":
+            folded[key] += 1
+        else:
+            folded[key] -= 1
+            assert folded[key] >= 0, key
+    now = Counter(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in t.scan(spark).select("conv_id", "turn_idx", "text").collect()
+    )
+    assert +folded == now

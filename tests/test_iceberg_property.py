@@ -135,16 +135,10 @@ def test_table_state_machine_matches_model(spark, ops, data):
         ia = data.draw(st.integers(0, len(history) - 2))
         ib = data.draw(st.integers(ia + 1, len(history) - 1))
         (s_from, m_from), (s_to, m_to) = history[ia], history[ib]
-        try:
-            rows_out = table.changes(
-                spark, from_snapshot_id=s_from, to_snapshot_id=s_to
-            ).collect()
-        except ValueError as ex:
-            # ranges crossing a live equality delete refuse by design
-            assert "equality deletes" in str(ex)
-            return
         folded = Counter(m_from)
-        for r in rows_out:
+        for r in table.changes(
+            spark, from_snapshot_id=s_from, to_snapshot_id=s_to
+        ).collect():
             key = (r["id"], r["grp"], r["val"])
             if r["_change_type"] == "insert":
                 folded[key] += 1
