@@ -135,7 +135,8 @@ def run_bench(sf_dir: str, cpus: int, rounds: int = 3) -> dict:
     }
 
 
-def _streaming_throughput(spark, sf_dir: str, n_turns: int) -> dict:
+def _streaming_throughput(spark, sf_dir: str, n_turns: int,
+                          rounds: int = 3) -> dict:
     """Sustained streaming turns/sec: YSB windowed agg and the CM1 pane
     path over chronological micro-batches (file source, availableNow) —
     the BASELINE.json metric. Each shape is reported at TWO trigger
@@ -144,7 +145,15 @@ def _streaming_throughput(spark, sf_dir: str, n_turns: int) -> dict:
     state-snapshot cost) and the tuned trigger from BENCH/TRIGGERS.md
     (largest trigger the latency budget allows; here all 8 staged files
     in one batch — the sustained number a production deployment would
-    see)."""
+    see).
+
+    Like the batch block, figures are INTERLEAVED BEST-OF-N (round-4
+    advice #1): every (shape, trigger) combo runs ``rounds`` times
+    round-robin with a FRESH checkpoint per trial, the published figure
+    is the fastest trial, and ``spread_sec`` (max−min) is published so a
+    noisy-neighbour swing reads as spread, not as a phantom regression
+    (round 4's only apparent regression was a single-shot 43.9 s
+    cm1@files=1 against a 16.8 s prior on an unchanged path)."""
     import shutil
     import pyspark.sql.functions as F
     from saber_spark.plans.streaming_queries import _stage_chunks, _stream_schema
@@ -156,8 +165,11 @@ def _streaming_throughput(spark, sf_dir: str, n_turns: int) -> dict:
     n_files = 8
     path = _stage_chunks(spark, sf_dir, "bench", n_files=n_files)
 
-    def run(build, tag: str, max_files: int) -> dict:
-        ckpt = os.path.join(REPO, ".tmp", f"bench_stream_ckpt_{tag}_{max_files}")
+    def run_once(build, tag: str, max_files: int, trial: int) -> tuple[float, int]:
+        # fresh checkpoint per trial — a reused one would replay nothing
+        # and time an empty stream
+        ckpt = os.path.join(
+            REPO, ".tmp", f"bench_stream_ckpt_{tag}_{max_files}_t{trial}")
         shutil.rmtree(ckpt, ignore_errors=True)
         stream = read_transcript_stream(
             spark, f"{path}/chunk=*", max_files_per_trigger=max_files,
@@ -169,12 +181,8 @@ def _streaming_throughput(spark, sf_dir: str, n_turns: int) -> dict:
         elapsed = time.perf_counter() - t0
         progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
         q.stop()
-        return {
-            "sec": round(elapsed, 3),
-            "turns_per_sec": round(n_turns / elapsed, 1),
-            "n_micro_batches": len(progress),
-            "max_files_per_trigger": max_files,
-        }
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return elapsed, len(progress)
 
     def ysb(stream):
         return streaming_windowed_aggregate(
@@ -192,15 +200,34 @@ def _streaming_throughput(spark, sf_dir: str, n_turns: int) -> dict:
             stream.where(F.col("tool") != ""), WindowDef(RANGE, 3600, 300),
             value_col="text_len", keys=("tool",), watermark="0 seconds")
 
-    return {
-        "ysb_tumbling": run(ysb, "ysb", 1),
-        "ysb_tumbling_tuned": run(ysb, "ysb", n_files),
-        "cm1_pane_sliding": run(cm1, "cm1", 1),
-        "cm1_pane_sliding_tuned": run(cm1, "cm1", n_files),
-        "trigger_note": ("_tuned = all staged files in one trigger, the "
-                         "BENCH/TRIGGERS.md-justified default; the =1 rows "
-                         "are the per-file worst case"),
-    }
+    combos = [
+        ("ysb_tumbling", ysb, "ysb", 1),
+        ("ysb_tumbling_tuned", ysb, "ysb", n_files),
+        ("cm1_pane_sliding", cm1, "cm1", 1),
+        ("cm1_pane_sliding_tuned", cm1, "cm1", n_files),
+    ]
+    samples: dict[str, list[tuple[float, int]]] = {n: [] for n, *_ in combos}
+    for trial in range(rounds):
+        for name, build, tag, mf in combos:  # interleaved round-robin
+            samples[name].append(run_once(build, tag, mf, trial))
+    out: dict = {}
+    for name, _build, _tag, mf in combos:
+        secs = [s for s, _ in samples[name]]
+        best_sec, best_batches = min(samples[name])
+        out[name] = {
+            "sec": round(best_sec, 3),
+            "turns_per_sec": round(n_turns / best_sec, 1),
+            "n_micro_batches": best_batches,
+            "max_files_per_trigger": mf,
+            "spread_sec": round(max(secs) - min(secs), 3),
+            "trials": rounds,
+        }
+    out["trigger_note"] = (
+        "_tuned = all staged files in one trigger, the BENCH/TRIGGERS.md-"
+        "justified default; the =1 rows are the per-file worst case; "
+        "figures are interleaved best-of-N with fresh checkpoints, "
+        "spread_sec = max-min across trials")
+    return out
 
 
 SCALE_TURNS = 64_000_000
@@ -1511,6 +1538,160 @@ def run_iceberg_bench(sf_dir: str, cpus: int = 32) -> None:
     }))
 
 
+def run_iceberg_planning(sf_dir: str, cpus: int = 8,
+                         n_files: int = 10_000,
+                         files_per_snapshot: int = 50) -> None:
+    """Metadata planning at file-count scale + the MoR delete-
+    accumulation scan-cost curve (round-4 advice #4/#5); APPENDS
+    sections 11-12 to BENCH/ICEBERG.md (run --iceberg-bench first).
+
+    §11 stages a table with ``n_files`` parquet files across
+    ``n_files/files_per_snapshot`` snapshots (via ``add_files`` — no
+    data rewrite) and times ``files()`` planning: cold (manifest JSON
+    parsed from disk) vs warm (the immutable-manifest cache), full vs
+    bounds-pruned. §12 runs repeated MoR upserts against a fixed table
+    and measures full-scan wall time as equality-delete files
+    accumulate, then shows ``compact_if_needed`` restoring the
+    baseline."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from saber_spark.session import get_spark
+    from saber_spark.plans.saber_queries import transcripts
+    from saber_spark.sources import iceberg_format as fmt
+    from saber_spark.sources.iceberg_format import IcebergTable
+
+    spark = get_spark(app_name="saber_iceberg_planning", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    base = os.path.join(REPO, ".tmp", "iceberg_planning")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # -- §11: stage n_files tiny parquet files, commit in batches --------
+    ext = os.path.join(base, "ext")
+    os.makedirs(ext)
+    rows_per_file = 20
+    t0 = time.perf_counter()
+    paths = []
+    for i in range(n_files):
+        lo = i * rows_per_file
+        tbl = pa.table({
+            "conv_id": pa.array([f"c{i:06d}"] * rows_per_file),
+            "turn_idx": pa.array(range(rows_per_file), type=pa.int32()),
+            "seq": pa.array(range(lo, lo + rows_per_file), type=pa.int64()),
+        })
+        p = os.path.join(ext, f"f{i:06d}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+    write_sec = time.perf_counter() - t0
+
+    t = IcebergTable.create(
+        os.path.join(base, "table"),
+        T._parse_datatype_string("conv_id STRING, turn_idx INT, seq BIGINT"),
+    )
+    t0 = time.perf_counter()
+    for i in range(0, n_files, files_per_snapshot):
+        t.add_files(paths[i : i + files_per_snapshot])
+    commit_sec = time.perf_counter() - t0
+    n_snaps = n_files // files_per_snapshot
+
+    def plan(filters=None, cold=False) -> tuple[float, int]:
+        if cold:
+            fmt._json_cache.clear()
+        t0 = time.perf_counter()
+        fs = t.files(filters=filters)
+        return time.perf_counter() - t0, len(fs)
+
+    # 1% bounds-pruned window in the middle of the seq range
+    span = n_files * rows_per_file
+    pruned_f = [("seq", ">=", span // 2), ("seq", "<", span // 2 + span // 100)]
+    cold_full, nf_full = plan(cold=True)
+    warm_full, _ = plan()
+    cold_pruned, nf_pruned = plan(pruned_f, cold=True)
+    warm_pruned, _ = plan(pruned_f)
+
+    # -- §12: scan cost vs accumulated equality deletes ------------------
+    turns = transcripts(spark, sf_dir)
+    loc = os.path.join(base, "mor")
+    tm = IcebergTable.create(loc, turns)
+    tm.append(turns.repartition(8))
+    up = turns.where(F.col("turn_idx") == 1).limit(200)
+    up = spark.createDataFrame(up.collect(), up.schema)  # fixed batch
+
+    def scan_sec() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tm.scan(spark).count()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    curve = [(0, scan_sec())]
+    checkpoints = {2, 4, 8, 16, 32}
+    for k in range(1, 33):
+        tm.upsert_by_key(spark, up, ["conv_id", "turn_idx"])
+        if k in checkpoints:
+            curve.append((k, scan_sec()))
+    n_del_before = len(tm.equality_delete_files())
+    t0 = time.perf_counter()
+    assert tm.compact_if_needed(spark, max_delete_files=8) is not None
+    compact_sec = time.perf_counter() - t0
+    after_sec = scan_sec()
+    assert tm.equality_delete_files() == []
+
+    out = os.path.join(REPO, "BENCH", "ICEBERG.md")
+    with open(out, "a") as fh:
+        fh.write(
+            "\n## 11. Metadata planning at file-count scale "
+            f"({n_files:,} files / {n_snaps} snapshots)\n\n"
+            f"Staged via `add_files` ({write_sec:.0f} s to write "
+            f"{n_files:,} external parquet files, {commit_sec:.0f} s for "
+            f"{n_snaps} footer-harvest+commit batches). Planning = "
+            "`files()` wall time, best case vs cold process:\n\n"
+            "| plan | cold (parse every manifest) | warm (immutable-manifest cache) | files returned |\n"
+            "|---|---|---|---|\n"
+            f"| full scan | {cold_full:.2f} s | {warm_full:.3f} s | {nf_full:,} |\n"
+            f"| seq-range (1%) | {cold_pruned:.2f} s | {warm_pruned:.3f} s | {nf_pruned:,} |\n\n"
+            "Cold planning parses every live manifest JSON and is identical\n"
+            "for pruned and full scans (bounds pruning drops FILES, not\n"
+            "manifest reads — this format has no manifest-list-level column\n"
+            "summaries; real Iceberg adds partition summaries there, the\n"
+            "documented next step if cold planning ever dominates). The\n"
+            f"immutable-manifest cache (`_read_json_immutable`) takes repeat\n"
+            f"planning to ~{warm_full * 1000:.0f} ms — manifests are written\n"
+            "once under unique names, so (path, mtime, size) keys cannot go\n"
+            "stale. Long-lived drivers (streaming sinks committing per\n"
+            "batch, the changelog source) re-plan every trigger and sit on\n"
+            "the warm path.\n\n"
+            "## 12. Scan cost vs accumulated equality deletes\n\n"
+            f"Fixed {turns.count():,}-turn table, repeated 200-row MoR\n"
+            "upserts (`upsert_by_key`), full-scan wall time (best-of-2) as\n"
+            "delete files accumulate:\n\n"
+            "| accumulated delete files | full-scan s |\n|---|---|\n"
+            + "".join(f"| {k} | {s:.2f} |\n" for k, s in curve)
+            + f"\nAt {n_del_before} accumulated delete files,\n"
+            f"`compact_if_needed(max_delete_files=8)` fired ({compact_sec:.1f} s\n"
+            f"rewrite), retiring every delete; post-compaction scan =\n"
+            f"{after_sec:.2f} s (baseline was {curve[0][1]:.2f} s). The\n"
+            "trigger check itself is metadata-only, so the under-threshold\n"
+            "steady state costs one manifest walk per invocation — the\n"
+            "policy `ExactlyOnceIcebergSink(auto_compact=...)` applies per\n"
+            "micro-batch.\n"
+        )
+    print(json.dumps({
+        "cold_full_sec": round(cold_full, 3),
+        "warm_full_sec": round(warm_full, 4),
+        "cold_pruned_sec": round(cold_pruned, 3),
+        "warm_pruned_sec": round(warm_pruned, 4),
+        "curve": [(k, round(s, 3)) for k, s in curve],
+        "post_compact_sec": round(after_sec, 3),
+        "written": out,
+    }))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
@@ -1525,6 +1706,9 @@ if __name__ == "__main__":
                     help="figure-12/13-style task-size sweep -> BENCH/TRIGGERS.md")
     ap.add_argument("--iceberg-bench", action="store_true",
                     help="Iceberg table-format cost/payoff -> BENCH/ICEBERG.md")
+    ap.add_argument("--iceberg-planning", action="store_true",
+                    help="10k-file metadata planning + delete-accumulation "
+                         "curve -> appends BENCH/ICEBERG.md §11-12")
     ap.add_argument("--rerun-regressed", action="store_true",
                     help="interleaved best-of-N recheck of the r2-regressed "
                          "shapes -> BENCH/REGRESSED.md")
@@ -1569,6 +1753,8 @@ if __name__ == "__main__":
         run_trigger_sweep(args.cpus)
     elif args.iceberg_bench:
         run_iceberg_bench(args.sf_dir, args.cpus)
+    elif args.iceberg_planning:
+        run_iceberg_planning(args.sf_dir, args.cpus)
     elif args.rerun_regressed:
         run_regressed_recheck(args.sf_dir, args.cpus)
     elif args.slide_sweep:

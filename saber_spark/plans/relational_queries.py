@@ -326,11 +326,12 @@ WHERE o_orderkey % 97 = 0
 """
 
 
-# r4 registry rotation: three rounds driver-green (r1-r3), pure-Catalyst
-# scalar expressions with zero scale risk — its slot went to
-# cep_match_strategies. Value-level evidence continues in pytest
-# (tests/test_rotated_out.py runs the same builder against _SCALAR_ORACLE
-# via DuckDB).
+# Registry rotation: driver-green r1-r3, rotated out in r4 (slot went to
+# cep_match_strategies), ROTATED BACK IN for r5 — it is the sole driver
+# row for the §2.6 scalar-function surface; the slot came from
+# w2_projection_reduction (whose shapes w1 + row_window_aggs cover; its
+# oracle lives on in tests/test_rotated_out.py).
+@register("scalar_function_surface", _SCALAR_ORACLE)
 def scalar_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
     return o.select(

@@ -313,6 +313,7 @@ WHERE a.role = 'assistant' AND b.role = 'tool'
 """)
 
 
+@register("theta_join_row_window", _THETA_ROW_ORACLE)
 def theta_join_row_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ThetaJoin with ROW-window eviction: each assistant turn joins only
     tool turns within 8 turns of it in the same conversation — the
@@ -320,11 +321,11 @@ def theta_join_row_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowDefinition ROW_BASED) as a turn-distance join bound. Same
     single-shuffle equi-join shape as the time-bounded variant.
 
-    Rotated out of the 50-entry registry in round 4 (green CORRECTNESS
-    rows in r2+r3; its slot now carries the late-data accounting entry).
-    The oracle check stays alive in tests/test_rotated_out.py (via
-    _THETA_ROW_ORACLE below), the plan assertion in
-    tests/test_plan_quality.py, and bench.py still times the shape."""
+    Registry rotation: driver-green r2-r3, rotated out in r4 (slot went
+    to late_data_accounting), ROTATED BACK IN for r5 — it is the sole
+    driver row for §2.1-7's ROW-eviction arm; the slot came from
+    sg3_outlier_count (whose shape sg1/sg2 cover; oracle lives on in
+    tests/test_rotated_out.py)."""
     t = transcripts(spark, sf_dir)
     a = t.where(cmp("role", "=", "assistant")).select(
         F.col("conv_id"), F.col("turn_idx").alias("a_turn"),
@@ -547,7 +548,11 @@ GROUP BY 1, 2
 """)
 
 
-@register("w2_projection_reduction", _W2_ORACLE)
+# r5 registry rotation: driver-green r1-r4; its projection arithmetic is
+# covered by w1_deep_projection_groupby and its ROW-tumbling window by
+# row_window_aggs, so the slot went back to theta_join_row_window /
+# scalar_function_surface. Oracle check continues in
+# tests/test_rotated_out.py against _W2_ORACLE.
 def w2_projection_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts(spark, sf_dir)
     proj = t.select(
@@ -774,6 +779,10 @@ UNION ALL
 SELECT 'quant_skip' AS strategy, conv_id, start_turn, end_turn,
        _sus // 1000000 AS start_ts, _eus // 1000000 AS end_ts
 FROM _cepq_sel
+UNION ALL
+SELECT 'streamed_tws' AS strategy, conv_id, start_turn, end_turn,
+       _sus // 1000000 AS start_ts, _eus // 1000000 AS end_ts
+FROM _cep_cand
 """
 )
 
@@ -787,21 +796,51 @@ def cep_match_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, 'skip_past' adds one applyInPandas greedy pass over candidate
     matches only; the quantified legs compile the repeat ranges to one
     CASE over concrete expansions in greedy-preference order — still
-    zero per-row Python. The streamed twin is streaming/cep.py
-    SequenceMatcher (parity-tested batch-boundary by batch-boundary in
-    tests/test_cep_sequence.py, quantified patterns included via the
-    decision-horizon ring buffer + ttl tail flush)."""
+    zero per-row Python. The fifth leg ('streamed_tws', new in r5) is
+    the streamed twin streaming/cep.py::SequenceMatcher executed for
+    REAL through transformWithStateInPandas — unlocked by the
+    _miniproto.py wire-format shim — over 4 chronological micro-batches
+    (cross-batch match continuation included), value-checked against
+    the same recursive-CTE DuckDB derivation as the batch 'all' leg."""
     t = transcripts(spark, sf_dir)
 
     def leg(steps, mode, tag):
         m = match_sequence(t, steps, within_s=_CEP_WITHIN_S, mode=mode)
         return m.select(F.lit(tag).alias("strategy"), "*")
 
+    def streamed_leg():
+        from saber_spark.plans.streaming_queries import (
+            _run_complete,
+            _stage_chunks,
+            _stream_schema,
+        )
+        from saber_spark.streaming.cep import match_sequence_stream
+        from saber_spark.streaming.jobs import read_transcript_stream
+
+        path = _stage_chunks(spark, sf_dir, "cep_tws")
+        stream = read_transcript_stream(
+            spark, f"{path}/chunk=*", max_files_per_trigger=1,
+            schema=_stream_schema(),
+        )
+        m = match_sequence_stream(
+            stream, _CEP_STEPS, within_s=_CEP_WITHIN_S, mode="all",
+            watermark="30 minutes",
+        )
+        got = _run_complete(spark, m, "cep_tws_streamed")
+        return got.select(
+            F.lit("streamed_tws").alias("strategy"),
+            "conv_id",
+            F.col("start_turn").cast("long").alias("start_turn"),
+            F.col("end_turn").cast("long").alias("end_turn"),
+            "start_ts", "end_ts",
+        )
+
     return (
         leg(_CEP_STEPS, "all", "all")
         .unionByName(leg(_CEP_STEPS, "skip_past", "skip_past"))
         .unionByName(leg(_CEPQ_STEPS, "all", "quant_all"))
         .unionByName(leg(_CEPQ_STEPS, "skip_past", "quant_skip"))
+        .unionByName(streamed_leg())
     )
 
 
@@ -874,7 +913,10 @@ GROUP BY 1
 """)
 
 
-@register("sg3_outlier_count", _SG3_ORACLE)
+# r5 registry rotation: driver-green r1-r4; the agg→broadcast-join-back
+# DAG shape is covered by sg1/sg2 (and lrb3/lrb4 at higher depth), so the
+# slot went back to theta_join_row_window / scalar_function_surface.
+# Oracle check continues in tests/test_rotated_out.py against _SG3_ORACLE.
 def sg3_outlier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SG3 shape (figure-07): count conversations whose hourly average
     turn length exceeds the global hourly average. The per-window global

@@ -54,6 +54,40 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# -- immutable-file JSON cache ----------------------------------------------
+#
+# Manifest lists and manifests are written ONCE under unique uuid names and
+# never modified (the spec's immutability invariant; commits add NEW files
+# and re-reference old ones by path). Planning a scan walks every live
+# manifest, so at file-count scale (10k files / hundreds of snapshots —
+# measured in BENCH/ICEBERG.md §metadata-planning) re-parsing the same JSON
+# per scan dominates planning time. This process-wide LRU caches the parsed
+# documents keyed by (path, mtime_ns, size) — the stat key means a
+# hypothetically rewritten file misses rather than serving stale bytes.
+# CALLERS MUST TREAT CACHED OBJECTS AS READ-ONLY: every consumer either
+# copies entries into new dicts ({**d, ...}) or reads fields; commits build
+# fresh manifests rather than mutating parsed ones.
+
+_JSON_CACHE_MAX = 8192
+_json_cache: dict = {}
+
+
+def _read_json_immutable(path: str):
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _json_cache.get(key)
+    if hit is not None:
+        return hit
+    with open(path) as f:
+        val = json.load(f)
+    if len(_json_cache) >= _JSON_CACHE_MAX:
+        # drop the oldest half — cheap, amortized, no per-hit bookkeeping
+        for k in list(_json_cache)[: _JSON_CACHE_MAX // 2]:
+            del _json_cache[k]
+    _json_cache[key] = val
+    return val
+
+
 class CommitConflict(Exception):
     """Another writer published the metadata version this commit targeted."""
 
@@ -681,10 +715,9 @@ class IcebergTable:
         appends are carried forward, not lost)."""
         live: dict[str, dict] = {}
         for m in self._manifest_list(meta):
-            with open(m["manifest_path"]) as f:
-                for entry in json.load(f):
-                    if entry["status"] != 2:
-                        live[entry["data_file"]["file_path"]] = entry["data_file"]
+            for entry in _read_json_immutable(m["manifest_path"]):
+                if entry["status"] != 2:
+                    live[entry["data_file"]["file_path"]] = entry["data_file"]
         return live
 
     def _rewrite_commit(
@@ -1384,12 +1417,20 @@ class IcebergTable:
         source: DataFrame,
         key_cols: list[str],
         summary_extra: dict | None = None,
+        delete_condition: str | None = None,
     ) -> dict:
         """``MERGE INTO t USING source ON keys WHEN MATCHED THEN UPDATE
         WHEN NOT MATCHED THEN INSERT`` (full-row upsert), copy-on-write:
         files whose bounds on ``key_cols[0]`` cannot contain any source
         key are carried untouched; affected files are rewritten as
-        (target ANTI JOIN source) ∪ source. One atomic snapshot."""
+        (target ANTI JOIN source) ∪ source. One atomic snapshot.
+
+        ``delete_condition`` (a SQL boolean over the source columns) adds
+        the ``WHEN MATCHED AND <cond> THEN DELETE`` arm: source rows
+        satisfying it still knock out their matching target rows via the
+        anti-join but are NOT re-inserted — an upsert and its sibling
+        deletes land in the SAME atomic snapshot (the exactly-once MV
+        fold needs both or neither applied on replay)."""
         meta = self._read_metadata()
         cols = [
             f["name"]
@@ -1436,7 +1477,12 @@ class IcebergTable:
             affected.append(d["file_path"])
         target = self._read_paths(spark, meta, sorted(affected), live=all_live)
         survivors = target.join(source, on=key_cols, how="left_anti").select(*cols)
-        new_files = self._write_data_files(survivors.unionByName(source), meta)
+        inserts = (
+            source.where(f"NOT ({delete_condition})")
+            if delete_condition is not None
+            else source
+        )
+        new_files = self._write_data_files(survivors.unionByName(inserts), meta)
         return self._rewrite_commit(
             new_files, set(affected), "overwrite", summary_extra,
             known_delete_paths=known_dels,
@@ -1508,6 +1554,41 @@ class IcebergTable:
             new_files, {d["file_path"] for d in small}, "replace",
             known_delete_paths={d["file_path"] for d in deletes},
         )
+
+    def compact_if_needed(
+        self,
+        spark: SparkSession,
+        max_delete_files: int = 8,
+        max_delete_rows: int = 100_000,
+        **rewrite_kwargs,
+    ) -> dict | None:
+        """Auto-compaction trigger bounding merge-on-read read
+        amplification: every scan anti-joins the ACCUMULATED equality-
+        delete tuples and folds the accumulated position deletes, so scan
+        cost grows with each MoR upsert/delete until a rewrite retires
+        them (scan-cost curve measured in BENCH/ICEBERG.md
+        §delete-accumulation). This checks the CURRENT snapshot's live
+        delete entries — a metadata-only read — and runs
+        ``rewrite_data_files`` only when either threshold is exceeded:
+        ``max_delete_files`` (delete FILE count — each adds a per-scan
+        join/fold) or ``max_delete_rows`` (total delete-row count — the
+        anti-join's build side). Returns the rewrite result, or None
+        while under both thresholds (the common, free case). Callers on
+        a write loop — e.g. a MoR streaming sink — invoke it after each
+        commit; Iceberg proper ships the same policy as table properties
+        driving RewriteDataFiles scheduling."""
+        meta = self._read_metadata()
+        dels = [
+            d
+            for d in self._live_files(meta).values()
+            if d.get("content", 0) in (1, 2)
+        ]
+        if (
+            len(dels) <= max_delete_files
+            and sum(d.get("record_count", 0) for d in dels) <= max_delete_rows
+        ):
+            return None
+        return self.rewrite_data_files(spark, **rewrite_kwargs)
 
     def rewrite_sorted(
         self,
@@ -1941,8 +2022,7 @@ class IcebergTable:
         snap = snap or self._snapshot(meta)
         if snap is None:
             return []
-        with open(snap["manifest-list"]) as f:
-            return json.load(f)
+        return _read_json_immutable(snap["manifest-list"])
 
     def _live_entries(
         self, snapshot_id=None, as_of_ms=None, meta: dict | None = None
@@ -1957,8 +2037,11 @@ class IcebergTable:
             return []
         out = []
         for m in self._manifest_list(meta, snap):
-            with open(m["manifest_path"]) as f:
-                out += [e["data_file"] for e in json.load(f) if e["status"] != 2]
+            out += [
+                e["data_file"]
+                for e in _read_json_immutable(m["manifest_path"])
+                if e["status"] != 2
+            ]
         return out
 
     def files(self, snapshot_id=None, as_of_ms=None, filters=None) -> list[dict]:
@@ -2077,12 +2160,11 @@ class IcebergTable:
                 for m in self._manifest_list(meta, s):
                     if m["added_snapshot_id"] != s["snapshot-id"]:
                         continue  # carried-forward manifest, not new rows
-                    with open(m["manifest_path"]) as f:
-                        out += [
-                            e["data_file"]
-                            for e in json.load(f)
-                            if e["status"] == 1
-                        ]
+                    out += [
+                        e["data_file"]
+                        for e in _read_json_immutable(m["manifest_path"])
+                        if e["status"] == 1
+                    ]
         return out
 
     def schema_ddl(self) -> str:
@@ -2357,8 +2439,10 @@ class IcebergTable:
         live = set()
         for s in meta["snapshots"]:
             for m in self._manifest_list(meta, s):
-                with open(m["manifest_path"]) as f:
-                    live |= {e["data_file"]["file_path"] for e in json.load(f)}
+                live |= {
+                    e["data_file"]["file_path"]
+                    for e in _read_json_immutable(m["manifest_path"])
+                }
         cutoff = time.time() - older_than_s
         removed = []
         for root, _dirs, files in os.walk(self.data_dir):

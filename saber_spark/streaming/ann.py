@@ -13,11 +13,15 @@ Streaming constraints reshape the batch plan in two places:
   expressions (``transform`` → ``array_sort`` → ``slice``): no shuffle,
   no state, evaluates inside whole-stage codegen.
 - **Top-k cannot use row_number either**: the final ranking is a
-  watermark-gated windowed aggregation — ``collect_list`` of
-  (-cosine, nbr_id) structs, ``array_sort``, ``slice k`` — whose state
-  per (window, query) is bounded by the candidate count
-  (≤ Σ probed-cell sizes), and which emits exactly once per window when
-  the watermark passes.
+  keyed ``applyInPandasWithState`` running top-k — per (query, window)
+  the state is EXACTLY the k best (-cosine, nbr_id) pairs seen so far,
+  merged and re-truncated every micro-batch — emitting once per window
+  on an event-time timeout when the watermark passes window end. State
+  per group is O(k) BY CONSTRUCTION, independent of probed-cell sizes:
+  a query probing a hot cell at 100 TB never holds that cell's scores
+  in a state row (a ``collect_list``-then-slice windowed aggregate
+  would — its state grows with Σ probed-cell sizes, the round-4 scale
+  nit this design removes).
 
 The candidate join itself is the same cell_id equi-join as the batch
 path: the corpus is shuffled ONCE into nearest-centroid cells (static
@@ -31,8 +35,14 @@ training/serving-pipeline surface next to the batch ANN operators.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from saber_spark.operators.similarity import (
     _cells_for,
@@ -40,6 +50,30 @@ from saber_spark.operators.similarity import (
     ivf_centroids,
     with_norm,
 )
+
+#: per-(query, window) running top-k: exactly the k best candidates so
+#: far, as parallel arrays sorted by (neg_cosine asc, nbr_id asc)
+_TOPK_STATE = T.StructType(
+    [
+        T.StructField("negs", T.ArrayType(T.DoubleType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def merge_topk(
+    negs: list, ids: list, new_negs: list, new_ids: list, k: int
+) -> tuple[list, list]:
+    """Fold a batch of candidates into a k-bounded running top-k.
+
+    Inputs and output are parallel (neg_cosine, nbr_id) arrays; the
+    output is sorted by (neg asc, id asc) — the exact tie-break of the
+    batch ``ivf_topk``'s ``array_sort(struct(_nc, nbr_id))`` — and
+    TRUNCATED to k, so state never exceeds k entries no matter how many
+    candidates one micro-batch (or a hot probed cell) contributes."""
+    items = sorted([*zip(negs, ids), *zip(new_negs, new_ids)])
+    del items[k:]
+    return [n for n, _ in items], [i for _, i in items]
 
 
 def _literal_codebook(cent_rows) -> Column:
@@ -133,33 +167,82 @@ def streaming_ivf_topk(
             ).alias("cosine"),
         )
     )
-    top = (
-        cand.withWatermark("_ts", watermark)
-        .groupBy(
-            F.window("_ts", f"{window_s} seconds").alias("win"), "query_id"
-        )
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("cosine")).alias("_nc"), F.col("nbr_id")
-                        )
-                    )
-                ),
-                1,
-                k,
-            ).alias("_top")
-        )
+    # k-bounded running top-k per (query, window): applyInPandasWithState
+    # keyed on (query_id, window-start-micros), state = the k best
+    # (neg_cosine, nbr_id) pairs so far (merge_topk re-truncates every
+    # micro-batch), emitted once on event-time timeout at window end —
+    # the same emit-once-when-watermark-passes contract as a declarative
+    # windowed agg, but with O(k) state instead of O(Σ probed-cell size).
+    win_us = window_s * 1_000_000
+    us = F.unix_micros(F.col("_ts"))
+    keyed = cand.withWatermark("_ts", watermark).withColumn(
+        "_ws_us", (us - F.pmod(us, F.lit(win_us))).cast("long")
     )
+    q_id_type = query_stream.schema[id_col].dataType
+    nbr_id_type = base.schema[id_col].dataType
+    state_schema = T.StructType(
+        [
+            T.StructField("negs", T.ArrayType(T.DoubleType())),
+            T.StructField("ids", T.ArrayType(nbr_id_type)),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("_ws_us", T.LongType()),
+            T.StructField("query_id", q_id_type),
+            T.StructField("nbr_id", nbr_id_type),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rk", T.IntegerType()),
+        ]
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        # key scalars arrive as numpy types; state/timeout values are
+        # JSON-serialized, so coerce to Python int up front
+        query_id, ws_us = key[0], int(key[1])
+        if bool(getattr(state, "hasTimedOut", False)):
+            # watermark passed window end: emit the final top-k, free state
+            negs, ids = state.get
+            state.remove()
+            n = len(negs)
+            if n:
+                yield pd.DataFrame(
+                    {
+                        "_ws_us": np.repeat(np.int64(ws_us), n),
+                        "query_id": np.repeat(query_id, n),
+                        "nbr_id": list(ids),
+                        "cosine": [-x for x in negs],
+                        "rk": np.arange(1, n + 1, dtype="int32"),
+                    }
+                )
+            return
+        negs, ids = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            negs, ids = merge_topk(
+                negs,
+                ids,
+                (-pdf["cosine"].to_numpy()).tolist(),
+                pdf["nbr_id"].tolist(),
+                k,
+            )
+        state.update((negs, ids))
+        wm_ms = int(state.getCurrentWatermarkMs())
+        end_ms = ws_us // 1000 + window_s * 1000
+        state.setTimeoutTimestamp(max(end_ms, wm_ms + 1))
+
+    top = keyed.groupBy("query_id", "_ws_us").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "EventTimeTimeout"
+    )
+    ws_ts = F.timestamp_micros(F.col("_ws_us"))
     return top.select(
-        "win",
+        F.struct(
+            ws_ts.alias("start"),
+            F.timestamp_micros(F.col("_ws_us") + F.lit(win_us)).alias("end"),
+        ).alias("win"),
         "query_id",
-        F.posexplode("_top").alias("_pos", "_s"),
-    ).select(
-        "win",
-        "query_id",
-        F.col("_s.nbr_id").alias("nbr_id"),
-        (-F.col("_s._nc")).alias("cosine"),
-        (F.col("_pos") + 1).cast("int").alias("rk"),
+        "nbr_id",
+        "cosine",
+        "rk",
     )

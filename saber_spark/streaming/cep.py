@@ -25,15 +25,21 @@ through a watermark/sort stage first.
 Batch twin: ``tool_loop_runs`` computes identical runs with a
 gaps-and-islands window plan — the parity oracle for the streamed path.
 
-Environment gate: transformWithState's driver↔worker state protocol is
-protobuf-based, and this container has no ``google.protobuf`` (and the
-brief forbids installing packages), so the end-to-end streamed
-execution cannot run here — ``detect_tool_loops_stream`` raises a clear
-error up front when protobuf is missing (``tws_available()``). The
-processor's run/timer logic is still fully tested batch-boundary by
-batch-boundary through a fake handle (tests/test_cep.py), and the batch
-twin is value-tested; on a normal cluster image (protobuf ships with
-pyspark[connect]) the streamed path runs as written.
+Environment gate, now lifted in-process: transformWithState's
+driver↔worker state protocol is protobuf-based and this container has
+no ``google.protobuf`` (and the brief forbids installing packages).
+``streaming/_miniproto.py`` implements the wire format from the public
+spec and seeds ``sys.modules`` with a StateMessage_pb2 stand-in built
+from the installed pyspark's own descriptor blob — pyspark's pb2
+imports are all lazy, so the streamed path runs END TO END here
+(tests/test_cep.py::test_streamed_detector_matches_batch_twin). On a
+normal cluster image (protobuf ships with pyspark[connect]) the shim
+steps aside and the real runtime is used. ``_miniproto.ensure()`` runs
+at import of THIS module, which every worker executes while unpickling
+the processor — before the first lazy pb2 import. If neither the real
+runtime nor the shim can load, ``tws_available()`` is False and the
+stream builders raise up front; the processor logic stays fully tested
+batch-boundary by batch-boundary through a fake handle regardless.
 """
 
 from __future__ import annotations
@@ -66,14 +72,22 @@ __all__ = [
 
 
 def tws_available() -> bool:
-    """True when the transformWithState worker protocol can run here
-    (requires google.protobuf, which pyspark does not bundle)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """True when the transformWithState worker protocol can run here:
+    either a real google.protobuf runtime, or the from-scratch
+    wire-format shim (streaming/_miniproto.py) seeded into sys.modules.
+    The ensure() below also ran at module import, so workers that
+    unpickled a processor from this module are already provisioned."""
+    from saber_spark.streaming import _miniproto
 
-        return True
-    except ImportError:
-        return False
+    return _miniproto.ensure()
+
+
+# provision THIS process (driver or worker) at import time: workers
+# import this module while unpickling the StatefulProcessor, which
+# happens before pyspark's first lazy StateMessage_pb2 import
+from saber_spark.streaming import _miniproto as _mp  # noqa: E402
+
+_mp.ensure()
 
 #: (conv_id, run_start, run_end, n_tool_turns) — epoch seconds, floored
 OUTPUT_SCHEMA = (

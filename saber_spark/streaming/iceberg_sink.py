@@ -51,9 +51,17 @@ class ExactlyOnceIcebergSink:
         coalesce: int | None = None,
         merge_keys: list[str] | None = None,
         merge_mode: str = "cow",
+        auto_compact: dict | None = None,
     ) -> None:
         if merge_mode not in ("cow", "mor"):
             raise ValueError("merge_mode must be 'cow' or 'mor'")
+        # MoR read-amplification bound: thresholds forwarded to
+        # IcebergTable.compact_if_needed after each 'mor' commit (e.g.
+        # {"max_delete_files": 8}; {} = defaults; None disables — manual
+        # maintenance). The trigger check is metadata-only, and a crash
+        # between commit and compaction is safe: compaction is a replace
+        # snapshot that the next over-threshold batch simply re-attempts.
+        self.auto_compact = auto_compact
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.query_name = query_name
@@ -125,6 +133,10 @@ class ExactlyOnceIcebergSink:
                     self.table.upsert_by_key(
                         df.sparkSession, df, self.merge_keys, summary_extra=summary
                     )
+                    if self.auto_compact is not None:
+                        self.table.compact_if_needed(
+                            df.sparkSession, **self.auto_compact
+                        )
                 elif self.merge_keys:
                     self.table.merge_into(
                         df.sparkSession, df, self.merge_keys, summary_extra=summary

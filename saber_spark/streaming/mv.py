@@ -19,12 +19,18 @@ commit-tag dedup the exactly-once sink uses — the fold is applied
 exactly once per batch even across restarts.
 
 Scale shape: the per-batch work is one groupBy of the BATCH's events
-(small), one scan of the MV (aggregate cardinality, not source
-cardinality), one full-outer join on the window key, one overwrite
-commit. Overwrite-per-batch is right while the MV is small (windowed
-aggregates are); a huge MV would switch the final fold to
-``merge_into`` on the window key plus a delete of zeroed rows — the
-same table format supports both.
+(small), then ONE of two fold paths picked per batch by MV size
+(``fold_mode='auto'``, metadata-only row count):
+
+- **overwrite** (small MV): scan the whole MV (aggregate cardinality,
+  not source cardinality), full-outer join the deltas, rewrite — right
+  while the MV fits a single rewrite.
+- **merge** (large MV): scan ONLY the window_start range the batch
+  touched (file-pruned), right-join the deltas, and ``merge_into`` on
+  (window_start, keys) with ``delete_condition='n_rows <= 0'`` — files
+  outside the touched key range are carried untouched, zeroed rows are
+  deleted in the SAME atomic snapshot, and per-batch write cost is
+  O(files overlapping the touched windows), not O(MV).
 
 Reference analogue: none (Saber recomputes windows from its circular
 buffer and persists nothing) — this is the north_rule's exactly-once
@@ -55,15 +61,26 @@ class WindowedAggregateMV:
         ts_col: str = "ts",
         value_col: str | None = None,
         keys: tuple[str, ...] = (),
+        fold_mode: str = "auto",
+        merge_threshold_rows: int = 100_000,
     ) -> None:
+        """``fold_mode``: 'overwrite' (always rewrite the whole MV),
+        'merge' (always merge_into on the touched window range), or
+        'auto' (default) — overwrite while the MV's live row count (from
+        manifest record counts, no data read) is at or below
+        ``merge_threshold_rows``, merge once it grows past."""
         if window_s <= 0:
             raise ValueError("window_s must be positive")
+        if fold_mode not in ("auto", "overwrite", "merge"):
+            raise ValueError(f"unknown fold_mode {fold_mode!r}")
         self.table = mv_table
         self.query_name = query_name
         self.window_s = window_s
         self.ts_col = ts_col
         self.value_col = value_col
         self.keys = tuple(keys)
+        self.fold_mode = fold_mode
+        self.merge_threshold_rows = merge_threshold_rows
 
     #: the keyless MV schema; with keys use schema_ddl("tool STRING")
     SCHEMA = (
@@ -123,10 +140,19 @@ class WindowedAggregateMV:
         if not delta_rows:
             return
         deltas = spark.createDataFrame(delta_rows, deltas.schema)
-        cur = self.table.scan(spark)
-        merged = (
-            cur.join(deltas, group_cols, "full_outer")
-            .select(
+
+        mode = self.fold_mode
+        if mode == "auto":
+            # manifest record counts — a metadata read, never a data scan
+            live_rows = sum(d["record_count"] for d in self.table.files())
+            mode = (
+                "overwrite"
+                if live_rows <= self.merge_threshold_rows
+                else "merge"
+            )
+
+        def folded(cur, how: str):
+            return cur.join(deltas, group_cols, how).select(
                 F.col("window_start"),
                 (F.col("window_start") + self.window_s).alias("window_end"),
                 *[F.col(k) for k in self.keys],
@@ -139,11 +165,35 @@ class WindowedAggregateMV:
                     + F.coalesce(F.col("d_sum"), F.lit(0))
                 ).cast("long").alias("sum_val"),
             )
-            .where(F.col("n_rows") > 0)
-            .coalesce(1)
-        )
+
         try:
-            self.table.overwrite(merged, {"saber.commit-tag": tag})
+            if mode == "overwrite":
+                merged = (
+                    folded(self.table.scan(spark), "full_outer")
+                    .where(F.col("n_rows") > 0)
+                    .coalesce(1)
+                )
+                self.table.overwrite(merged, {"saber.commit-tag": tag})
+            else:
+                # merge path: scan ONLY the touched window_start range
+                # (file-pruned), fold the touched keys, and commit the
+                # upserts AND zero-row deletes as one atomic snapshot
+                lo = min(r["window_start"] for r in delta_rows)
+                hi = max(r["window_start"] for r in delta_rows)
+                cur = self.table.scan(
+                    spark,
+                    filters=[
+                        ("window_start", ">=", lo),
+                        ("window_start", "<=", hi),
+                    ],
+                )
+                self.table.merge_into(
+                    spark,
+                    folded(cur, "right"),
+                    key_cols=list(group_cols),
+                    summary_extra={"saber.commit-tag": tag},
+                    delete_condition="n_rows <= 0",
+                )
         except AlreadyCommitted:
             pass  # lost a race against our own replay — state is correct
 

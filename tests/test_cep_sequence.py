@@ -524,3 +524,47 @@ def test_sequence_matcher_guards():
     with pytest.raises(ValueError):
         # ttl shorter than the match bound could evict mid-pattern
         SequenceMatcher(2, within_us=10_000_000, ttl_s=5)
+
+
+@pytest.mark.parametrize("mode", ["all", "skip_past"])
+def test_match_sequence_stream_e2e(spark, mode, tmp_path):
+    """The REAL transformWithStateInPandas execution (unlocked by the
+    streaming/_miniproto.py wire-format shim — no google.protobuf in
+    this container) must emit exactly the batch operator's matches,
+    including convC's match whose three rows arrive in three separate
+    micro-batches."""
+    import os
+    import shutil
+
+    from saber_spark.streaming.cep import match_sequence_stream, tws_available
+
+    if not tws_available():
+        pytest.skip("transformWithState protocol unavailable (no protobuf, "
+                    "shim failed to build)")
+
+    path = str(tmp_path / "seq_stream")
+    for k, chunk in enumerate(_CHUNKS):
+        spark.createDataFrame(
+            [(c, i, r, tl, _t(e)) for c, i, r, tl, e in chunk], schema=_SCHEMA
+        ).coalesce(1).write.parquet(os.path.join(path, f"chunk={k:03d}"))
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/chunk=*")
+    )
+    out = match_sequence_stream(
+        stream, _STEPS, within_s=100, mode=mode, watermark="30 minutes"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(f"seq_{mode}").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _rows(spark.sql(f"SELECT * FROM seq_{mode}"))
+        assert got == (_ALL if mode == "all" else _SKIP)
+    finally:
+        q.stop()

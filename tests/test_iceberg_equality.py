@@ -330,3 +330,48 @@ def test_changelog_stream_resolves_equality_deletes(spark):
         for r in t.scan(spark).select("conv_id", "turn_idx", "text").collect()
     )
     assert +folded == now
+
+
+def test_compact_if_needed_thresholds(spark):
+    """The auto-compaction trigger is a no-op (None, metadata-only check)
+    while accumulated delete entries sit under BOTH thresholds, fires a
+    real rewrite_data_files once the delete-file count exceeds
+    max_delete_files, and afterwards the deletes are retired so the next
+    check is a no-op again — the read-amplification bound for MoR
+    upsert loops."""
+    loc = _fresh("eq_trigger")
+    a = _turns(spark, 0, 4)
+    t = IcebergTable.create(loc, a)
+    t.append(a)
+    # three MoR upserts = three accumulated equality-delete files
+    for i in range(3):
+        up = a.where(F.col("turn_idx") == i).withColumn(
+            "text", F.concat(F.lit(f"edit{i}: "), F.col("text"))
+        )
+        t.upsert_by_key(spark, up, ["conv_id", "turn_idx"])
+    want = {tuple(r) for r in t.scan(spark).select(*COLS).collect()}
+    assert len(t.equality_delete_files()) == 3
+
+    # under both thresholds: no-op, deletes still accumulated
+    assert t.compact_if_needed(spark, max_delete_files=8) is None
+    assert len(t.equality_delete_files()) == 3
+
+    # delete-file threshold exceeded: compacts, retires the deletes
+    assert t.compact_if_needed(
+        spark, max_delete_files=2, min_input_files=1
+    ) is not None
+    assert t.equality_delete_files() == []
+    assert {tuple(r) for r in t.scan(spark).select(*COLS).collect()} == want
+
+    # post-compaction: under thresholds again — the steady state is free
+    assert t.compact_if_needed(spark, max_delete_files=2) is None
+
+    # row-count threshold path: 0 rows allowed -> any delete tuple fires
+    up = a.where(F.col("turn_idx") == 3).withColumn(
+        "text", F.concat(F.lit("edit3: "), F.col("text"))
+    )
+    t.upsert_by_key(spark, up, ["conv_id", "turn_idx"])
+    assert t.compact_if_needed(
+        spark, max_delete_files=10**6, max_delete_rows=0, min_input_files=1
+    ) is not None
+    assert t.equality_delete_files() == []

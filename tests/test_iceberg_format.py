@@ -1214,3 +1214,36 @@ def test_ref_name_and_type_guards(spark):
     t.append(g)
     t.create_branch("audit")
     assert t.refs()["audit"]["type"] == "branch"
+
+
+def test_immutable_json_cache(tmp_path):
+    """The manifest cache returns the SAME parsed object for an
+    unchanged file (identity — no re-read, no re-parse) and misses when
+    the file changes (size or mtime), so a hypothetically rewritten
+    manifest can never be served stale."""
+    import json as _json
+    import os as _os
+
+    from saber_spark.sources.iceberg_format import (
+        _json_cache, _read_json_immutable,
+    )
+
+    p = str(tmp_path / "m.json")
+    with open(p, "w") as f:
+        _json.dump([{"status": 1}], f)
+    a = _read_json_immutable(p)
+    b = _read_json_immutable(p)
+    assert a is b and a == [{"status": 1}]
+
+    # same size, newer mtime -> miss (stat key changes)
+    st = _os.stat(p)
+    _os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    c = _read_json_immutable(p)
+    assert c is not a and c == a
+
+    # rewritten content -> fresh parse with the new content
+    with open(p, "w") as f:
+        _json.dump([{"status": 2}], f)
+    d = _read_json_immutable(p)
+    assert d == [{"status": 2}]
+    assert any(k[0] == p for k in _json_cache)

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -61,9 +62,12 @@ def _truth_rows(spark, src):
     }
 
 
-def test_mv_follows_source_through_mixed_history(spark):
+@pytest.mark.parametrize("fold_mode", ["overwrite", "merge"])
+def test_mv_follows_source_through_mixed_history(spark, fold_mode):
     src_loc, mv_loc, ckpt = (
-        _fresh("src"), _fresh("mv_table"), _fresh("ckpt"),
+        _fresh(f"src_{fold_mode}"),
+        _fresh(f"mv_table_{fold_mode}"),
+        _fresh(f"ckpt_{fold_mode}"),
     )
     t = transcripts(spark, SF_SMOKE).where(F.col("turn_idx") < 6)
     src = IcebergTable.create(src_loc, t)
@@ -72,7 +76,8 @@ def test_mv_follows_source_through_mixed_history(spark):
         mv_loc, T._parse_datatype_string(WindowedAggregateMV.SCHEMA)
     )
     mv = WindowedAggregateMV(
-        mv_table, "mv_test", WINDOW_S, value_col="_vlen"
+        mv_table, "mv_test", WINDOW_S, value_col="_vlen",
+        fold_mode=fold_mode,
     )
     stream = read_iceberg_changelog_stream(spark, src_loc).withColumn(
         "_vlen", F.length("text")
@@ -117,15 +122,21 @@ def test_mv_follows_source_through_mixed_history(spark):
     assert _mv_rows(spark, mv_table) == _truth_rows(spark, src)
 
 
-def test_mv_replayed_batch_folds_exactly_once(spark):
-    src_loc, mv_loc = _fresh("replay_src"), _fresh("replay_mv")
+@pytest.mark.parametrize("fold_mode", ["overwrite", "merge"])
+def test_mv_replayed_batch_folds_exactly_once(spark, fold_mode):
+    src_loc, mv_loc = (
+        _fresh(f"replay_src_{fold_mode}"), _fresh(f"replay_mv_{fold_mode}")
+    )
     t = transcripts(spark, SF_SMOKE).where(F.col("turn_idx") < 2)
     src = IcebergTable.create(src_loc, t)
     src.append(t)
     mv_table = IcebergTable.create(
         mv_loc, T._parse_datatype_string(WindowedAggregateMV.SCHEMA)
     )
-    mv = WindowedAggregateMV(mv_table, "mv_replay", WINDOW_S, value_col="_vlen")
+    mv = WindowedAggregateMV(
+        mv_table, "mv_replay", WINDOW_S, value_col="_vlen",
+        fold_mode=fold_mode,
+    )
     batch = src.changes(spark).withColumn("_vlen", F.length("text"))
     mv._fold(batch, 0)
     want = _mv_rows(spark, mv_table)
@@ -134,11 +145,16 @@ def test_mv_replayed_batch_folds_exactly_once(spark):
     assert _mv_rows(spark, mv_table) == want
 
 
-def test_mv_with_group_keys(spark):
+@pytest.mark.parametrize("fold_mode", ["overwrite", "merge"])
+def test_mv_with_group_keys(spark, fold_mode):
     """Keyed MV: per-(window, tool) counts stay exact through a MoR
-    delete that removes one tool's rows entirely from some windows."""
+    delete that removes one tool's rows entirely from some windows —
+    on the merge fold path, the zero-row deletes and the upserts land
+    in the same atomic snapshot (merge_into delete_condition)."""
     src_loc, mv_loc, ckpt = (
-        _fresh("key_src"), _fresh("key_mv"), _fresh("key_ckpt"),
+        _fresh(f"key_src_{fold_mode}"),
+        _fresh(f"key_mv_{fold_mode}"),
+        _fresh(f"key_ckpt_{fold_mode}"),
     )
     t = transcripts(spark, SF_SMOKE).where(F.col("turn_idx") < 6)
     src = IcebergTable.create(src_loc, t)
@@ -148,7 +164,8 @@ def test_mv_with_group_keys(spark):
         T._parse_datatype_string(WindowedAggregateMV.schema_ddl("tool STRING")),
     )
     mv = WindowedAggregateMV(
-        mv_table, "mv_keys", WINDOW_S, value_col="_vlen", keys=("tool",)
+        mv_table, "mv_keys", WINDOW_S, value_col="_vlen", keys=("tool",),
+        fold_mode=fold_mode,
     )
 
     def truth():
@@ -193,3 +210,41 @@ def test_mv_with_group_keys(spark):
         assert not any(r[1] == "code" for r in got)  # folded to zero, gone
     finally:
         q.stop()
+
+
+def test_mv_merge_path_carries_untouched_files(spark):
+    """The merge fold's write cost is O(files overlapping the touched
+    windows), not O(MV): an MV whose windows live in separate files
+    keeps every file outside the batch's window_start range
+    byte-identical (same live file path) across a fold, while the
+    touched window's file is rewritten. This is the at-scale property
+    that picks merge over overwrite past merge_threshold_rows."""
+    import datetime as dt
+
+    mv_loc = _fresh("prune_mv")
+    mv_table = IcebergTable.create(
+        mv_loc, T._parse_datatype_string(WindowedAggregateMV.SCHEMA)
+    )
+    # two far-apart windows, committed as SEPARATE files (two appends)
+    far = 1_000_000 * WINDOW_S
+    mv_table.append(spark.createDataFrame(
+        [(0, WINDOW_S, 5, 50)], WindowedAggregateMV.SCHEMA).coalesce(1))
+    mv_table.append(spark.createDataFrame(
+        [(far, far + WINDOW_S, 7, 70)], WindowedAggregateMV.SCHEMA).coalesce(1))
+    before = {d["file_path"] for d in mv_table.files()}
+    assert len(before) == 2
+
+    mv = WindowedAggregateMV(
+        mv_table, "mv_prune", WINDOW_S, value_col="_vlen", fold_mode="merge"
+    )
+    batch = spark.createDataFrame(
+        [("insert", dt.datetime(1970, 1, 1, 0, 10), 3)],
+        "_change_type STRING, ts TIMESTAMP, _vlen INT",
+    )  # touches window_start=0 only
+    mv._fold(batch, 0)
+
+    after = {d["file_path"] for d in mv_table.files()}
+    untouched = [p for p in before if p in after]
+    assert len(untouched) == 1  # the far window's file carried untouched
+    got = _mv_rows(spark, mv_table)
+    assert got == {(0, 6, 53), (far, 7, 70)}

@@ -932,6 +932,32 @@ def test_streaming_ivf_topk_matches_batch(spark):
         q.stop()
 
 
+def test_streaming_ann_state_bounded_to_k():
+    """The (query, window) state is EXACTLY the running top-k: folding
+    500 candidates (a hot probed cell, ≫ k) through merge_topk in
+    several micro-batch-sized chunks never lets the stored arrays exceed
+    k entries, and the survivors are the global top-k with the batch
+    tie-break ((-cosine, nbr_id) lexicographic). This is the O(k) state
+    bound: streaming_ivf_topk's processor stores merge_topk's output
+    verbatim, so state bytes per group are k doubles + k ids regardless
+    of probed-cell size."""
+    from saber_spark.streaming.ann import merge_topk
+
+    k = 5
+    # 500 candidates incl. score ties (cosine collisions across ids)
+    cands = [((i * 7919) % 100 / 100.0, i) for i in range(500)]
+    want = sorted(((-c, i) for c, i in cands))[:k]
+
+    negs, ids = [], []
+    for lo in range(0, 500, 37):  # 14 uneven "micro-batches"
+        chunk = cands[lo : lo + 37]
+        negs, ids = merge_topk(
+            negs, ids, [-c for c, _ in chunk], [i for _, i in chunk], k
+        )
+        assert len(negs) <= k and len(ids) <= k  # the bound, every batch
+    assert list(zip(negs, ids)) == want
+
+
 def test_streaming_windowed_sketches_parity(spark, stream_dir):
     """HLL register merge is order-independent: the streamed windowed
     approx-distinct equals the batch sketch on the same rows exactly,
