@@ -375,3 +375,87 @@ def test_compact_if_needed_thresholds(spark):
         spark, max_delete_files=10**6, max_delete_rows=0, min_input_files=1
     ) is not None
     assert t.equality_delete_files() == []
+
+
+def test_mor_sink_auto_compact_bounds_delete_accumulation(spark):
+    """The sink's auto_compact policy keeps MoR read amplification
+    bounded WHILE streaming: with max_delete_files=1 every second batch
+    trips the trigger, so the 4-batch run ends with zero live equality
+    deletes (batch 2 and batch 4 each compact away the accumulated
+    pair) and the committed view equals the batch aggregate. Chunks are
+    CHRONOLOGICAL (unlike the hash-chunked re-emission test above):
+    time-ordered arrival means earlier batches' data files stay older
+    than later deletes, so the tuples genuinely accumulate until the
+    trigger fires — the steady-state shape of a MoR upsert stream."""
+    import os as _os
+
+    from saber_spark.operators.aggregation import AggSpec
+    from saber_spark.operators.windows import RANGE, WindowDef
+    from saber_spark.streaming.iceberg_sink import ExactlyOnceIcebergSink
+    from saber_spark.streaming.jobs import (
+        TRANSCRIPT_SCHEMA,
+        read_transcript_stream,
+        streaming_windowed_aggregate,
+    )
+    import pyspark.sql.types as T
+
+    src = _fresh("mor_ac_src")
+    t = transcripts(spark, SF_SMOKE).withColumn(
+        "text_len", F.length("text").cast("long")
+    )
+    lo, hi = t.select(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 4
+    for k in range(4):
+        cond = F.col("ts") >= F.lit(lo + k * span)
+        if k < 3:
+            cond = cond & (F.col("ts") < F.lit(lo + (k + 1) * span))
+        t.where(cond).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(src, f"chunk={k:03d}")
+        )
+    schema = T.StructType(
+        TRANSCRIPT_SCHEMA.fields + [T.StructField("text_len", T.LongType())]
+    )
+
+    stream = read_transcript_stream(
+        spark, f"{src}/chunk=*", max_files_per_trigger=1, schema=schema
+    )
+    agg = streaming_windowed_aggregate(
+        stream.where(F.col("role") == "assistant"),
+        WindowDef(RANGE, 600),
+        [AggSpec("cnt", "*", "n_turns"), AggSpec("sum", "text_len", "sum_len")],
+        watermark="0 seconds",
+    )
+    loc, ckpt = _fresh("mor_ac_table"), _fresh("mor_ac_ck")
+    table = IcebergTable.create(loc, agg)
+    sink = ExactlyOnceIcebergSink(
+        table, ckpt, "ysb_mor_ac", coalesce=1,
+        merge_keys=["window_start", "window_end"], merge_mode="mor",
+        auto_compact={"max_delete_files": 1, "min_input_files": 1},
+    )
+    q = sink.start(agg, output_mode="update")
+    q.processAllAvailable()
+    q.stop()
+
+    assert table.equality_delete_files() == []  # compacted in-stream
+    got = {
+        (r["window_start"], r["window_end"], r["n_turns"], r["sum_len"])
+        for r in sink.read_committed(spark).collect()
+    }
+    want = {
+        (r["window_start"], r["window_end"], r["n_turns"], r["sum_len"])
+        for r in t.where(F.col("role") == "assistant")
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "600 seconds").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("text_len").alias("sum_len"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            F.col("w.end").cast("long").alias("window_end"),
+            "n_turns", "sum_len",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
