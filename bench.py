@@ -1637,10 +1637,17 @@ def run_iceberg_planning(sf_dir: str, cpus: int = 8,
             curve.append((k, scan_sec()))
     n_del_before = len(tm.equality_delete_files())
     t0 = time.perf_counter()
-    assert tm.compact_if_needed(spark, max_delete_files=8) is not None
+    # side effect on its own line: `python -O` strips asserts, and a
+    # skipped compaction would silently publish a false post-compaction row
+    compacted = tm.compact_if_needed(spark, max_delete_files=8)
     compact_sec = time.perf_counter() - t0
     after_sec = scan_sec()
-    assert tm.equality_delete_files() == []
+    remaining = tm.equality_delete_files()
+    if compacted is None or remaining:
+        raise RuntimeError(
+            f"auto-compaction did not fold the deletes: result={compacted}, "
+            f"remaining delete files={len(remaining)}"
+        )
 
     out = os.path.join(REPO, "BENCH", "ICEBERG.md")
     with open(out, "a") as fh:

@@ -61,9 +61,14 @@ from pyspark.sql import functions as F
 # and re-reference old ones by path). Planning a scan walks every live
 # manifest, so at file-count scale (10k files / hundreds of snapshots —
 # measured in BENCH/ICEBERG.md §metadata-planning) re-parsing the same JSON
-# per scan dominates planning time. This process-wide LRU caches the parsed
+# per scan dominates planning time. This process-wide LRU (hits reinsert at
+# the tail; eviction drops the least-recently-used half) caches the parsed
 # documents keyed by (path, mtime_ns, size) — the stat key means a
 # hypothetically rewritten file misses rather than serving stale bytes.
+# Concurrent driver threads (one foreachBatch thread per streaming sink) may
+# race here; every step is a single atomic dict op or tolerates a lost race
+# (pop(k, None) on evict, a double file re-parse on a popped hit), so no
+# lock is needed.
 # CALLERS MUST TREAT CACHED OBJECTS AS READ-ONLY: every consumer either
 # copies entries into new dicts ({**d, ...}) or reads fields; commits build
 # fresh manifests rather than mutating parsed ones.
@@ -75,15 +80,16 @@ _json_cache: dict = {}
 def _read_json_immutable(path: str):
     st = os.stat(path)
     key = (path, st.st_mtime_ns, st.st_size)
-    hit = _json_cache.get(key)
+    hit = _json_cache.pop(key, None)
     if hit is not None:
+        _json_cache[key] = hit  # move-to-tail: dict order IS recency order
         return hit
     with open(path) as f:
         val = json.load(f)
     if len(_json_cache) >= _JSON_CACHE_MAX:
-        # drop the oldest half — cheap, amortized, no per-hit bookkeeping
+        # drop the least-recently-used half — cheap, amortized
         for k in list(_json_cache)[: _JSON_CACHE_MAX // 2]:
-            del _json_cache[k]
+            _json_cache.pop(k, None)  # another evictor may have won the race
     _json_cache[key] = val
     return val
 
@@ -1477,8 +1483,11 @@ class IcebergTable:
             affected.append(d["file_path"])
         target = self._read_paths(spark, meta, sorted(affected), live=all_live)
         survivors = target.join(source, on=key_cols, how="left_anti").select(*cols)
+        # SQL MERGE's `WHEN MATCHED AND cond THEN DELETE` does NOT fire on a
+        # NULL condition — coalesce keeps such rows on the upsert arm
+        # (bare NOT(NULL) is NULL, which would silently drop them)
         inserts = (
-            source.where(f"NOT ({delete_condition})")
+            source.where(f"NOT coalesce(({delete_condition}), false)")
             if delete_condition is not None
             else source
         )

@@ -51,16 +51,6 @@ from saber_spark.operators.similarity import (
     with_norm,
 )
 
-#: per-(query, window) running top-k: exactly the k best candidates so
-#: far, as parallel arrays sorted by (neg_cosine asc, nbr_id asc)
-_TOPK_STATE = T.StructType(
-    [
-        T.StructField("negs", T.ArrayType(T.DoubleType())),
-        T.StructField("ids", T.ArrayType(T.LongType())),
-    ]
-)
-
-
 def merge_topk(
     negs: list, ids: list, new_negs: list, new_ids: list, k: int
 ) -> tuple[list, list]:
