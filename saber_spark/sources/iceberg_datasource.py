@@ -359,9 +359,25 @@ class IcebergBatchReader(DataSourceReader):
         # one metadata read + one manifest walk yields BOTH the data and
         # delete sets — pinned to a single snapshot by construction
         meta = table._read_metadata()
-        entries = table._live_entries(self.snapshot_id, self.as_of_ms, meta=meta)
+        from saber_spark.sources.iceberg_format import (
+            _manifest_pruned_mor,
+            _pruned,
+        )
+
+        # delete-free manifests whose manifest-list column summary
+        # contradicts the pushed filters are skipped UNREAD (planning
+        # scales with matching manifests, not live manifests); no name
+        # maps here, matching the per-file pruning below (rename-proof
+        # conservatively: mismatched keys keep the manifest)
+        skip = (
+            (lambda m: _manifest_pruned_mor(m, self.pruning_filters, None))
+            if self.pruning_filters
+            else None
+        )
+        entries = table._live_entries(
+            self.snapshot_id, self.as_of_ms, meta=meta, skip_manifest=skip
+        )
         specs = table._spec_maps(meta)  # per-file spec after evolution
-        from saber_spark.sources.iceberg_format import _pruned
 
         files = [
             d

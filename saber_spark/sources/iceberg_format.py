@@ -658,6 +658,7 @@ class IcebergTable:
                 "added_snapshot_id": sid,
                 "added_files_count": len(dfs),
                 "added_rows_count": sum(d["record_count"] for d in dfs),
+                **_manifest_summary(dfs),
             }
 
         return self._commit(build)
@@ -866,6 +867,7 @@ class IcebergTable:
                             "added_rows_count": sum(
                                 d["record_count"] for d in new_files
                             ),
+                            **_manifest_summary(all_files),
                         }
                     ],
                     f,
@@ -2034,11 +2036,17 @@ class IcebergTable:
         return _read_json_immutable(snap["manifest-list"])
 
     def _live_entries(
-        self, snapshot_id=None, as_of_ms=None, meta: dict | None = None
+        self, snapshot_id=None, as_of_ms=None, meta: dict | None = None,
+        skip_manifest=None,
     ) -> list[dict]:
         """Every live manifest entry (data AND delete files) of one
         snapshot. Pass ``meta`` to reuse an already-read metadata json
-        (scan/planning paths list manifests exactly once)."""
+        (scan/planning paths list manifests exactly once).
+        ``skip_manifest(mlist_entry) -> bool`` lets planning drop whole
+        manifests on their manifest-list summary without reading them —
+        only sound for callers that tolerate losing every entry the
+        summary excludes (``files`` with filters; NOT delete
+        resolution)."""
         if meta is None:
             meta = self._read_metadata()
         snap = self._snapshot(meta, snapshot_id, as_of_ms)
@@ -2046,6 +2054,8 @@ class IcebergTable:
             return []
         out = []
         for m in self._manifest_list(meta, snap):
+            if skip_manifest is not None and skip_manifest(m):
+                continue
             out += [
                 e["data_file"]
                 for e in _read_json_immutable(m["manifest_path"])
@@ -2058,12 +2068,22 @@ class IcebergTable:
         column-bound pruning. ``filters``: [(col, op, value)] with op in
         = < <= > >= — conservative (a file is kept unless its bounds
         PROVE no row matches), exactly manifest-level pruning. Position-
-        delete files (content=1) are excluded — use ``delete_files``."""
+        delete files (content=1) are excluded — use ``delete_files``.
+        Manifests whose manifest-list column summary contradicts
+        ``filters`` are skipped without being read (cold planning scales
+        with matching manifests, not live manifests)."""
         meta = self._read_metadata()
         specs = self._spec_maps(meta)
         nmaps = _bound_name_maps(meta) if filters else None
+        skip = (
+            (lambda m: _manifest_pruned(m, filters, nmaps))
+            if filters
+            else None
+        )
         out = []
-        for d in self._live_entries(snapshot_id, as_of_ms):
+        for d in self._live_entries(
+            snapshot_id, as_of_ms, meta=meta, skip_manifest=skip
+        ):
             if d.get("content", 0) != 0:
                 continue
             spec = specs.get(int(d.get("spec-id", 0)), {})
@@ -2098,9 +2118,16 @@ class IcebergTable:
         ddl = _spark_ddl(self._schema_fields(meta))
         if snap is None:
             return spark.createDataFrame([], ddl)
-        entries = self._live_entries(snap["snapshot-id"], meta=meta)
-        specs = self._spec_maps(meta)
         nmaps = _bound_name_maps(meta) if filters else None
+        skip = (
+            (lambda m: _manifest_pruned_mor(m, filters, nmaps))
+            if filters
+            else None
+        )
+        entries = self._live_entries(
+            snap["snapshot-id"], meta=meta, skip_manifest=skip
+        )
+        specs = self._spec_maps(meta)
         files = [
             d
             for d in entries
@@ -2700,6 +2727,83 @@ def _bound_name_maps(meta: dict) -> dict[int, dict[str, str]]:
             f["name"]: by_id[f["id"]] for f in cur if f["id"] in by_id
         }
     return maps
+
+
+def _manifest_summary(entries: list[dict]) -> dict:
+    """Aggregated column bounds for a manifest-list entry. Real Iceberg
+    keeps partition-field summaries in the manifest list so planning can
+    skip whole manifests without reading them; this format's data files
+    carry COLUMN bounds, so the summary aggregates those instead — same
+    planning role, documented deviation. Computed once at write time
+    over the entries going INTO the manifest (manifests are immutable).
+    Omitted — meaning the manifest is always read — when the manifest
+    holds no data files, mixes writer schema-ids (bound keys are
+    writer-time column names; one rename translation per manifest is
+    only sound for a single schema), or a column's bound types differ
+    across files (min/max across them proves nothing)."""
+    data = [d for d in entries if d.get("content", 0) == 0]
+    if not data:
+        return {}
+    sids = {int(d.get("schema-id", 0)) for d in data}
+    if len(sids) != 1:
+        return {}
+    common = set(data[0].get("lower_bounds", {})) & set(
+        data[0].get("upper_bounds", {})
+    )
+    for d in data[1:]:
+        common &= set(d.get("lower_bounds", {})) & set(d.get("upper_bounds", {}))
+    bounds: dict = {}
+    for col in common:
+        try:
+            bounds[col] = [
+                min(d["lower_bounds"][col] for d in data),
+                max(d["upper_bounds"][col] for d in data),
+            ]
+        except TypeError:  # mixed bound types across files: unprovable
+            continue
+    if not bounds:
+        return {}
+    return {
+        "bounds": bounds,
+        "bounds_schema_id": sids.pop(),
+        # delete-aware readers (scan / the DataSource) may only skip
+        # manifests that provably hold no delete entries — a skipped
+        # position/equality delete would resurrect dead rows in files
+        # kept from OTHER manifests
+        "has_deletes": any(d.get("content", 0) != 0 for d in entries),
+    }
+
+
+def _manifest_pruned(mentry: dict, filters, name_maps: dict | None) -> bool:
+    """True iff the manifest-list summary PROVES no data file inside the
+    manifest can match ``filters`` — the manifest JSON is then skipped
+    unread, taking cold planning from O(live manifests) parses to
+    O(matching manifests). Entries without a summary (pre-summary
+    manifest lists, mixed-schema or no-data manifests) are always read.
+    Reuses ``_pruned`` on a synthetic file carrying the aggregated
+    bounds so timestamp-separator normalization and rename translation
+    behave identically to per-file pruning."""
+    b = mentry.get("bounds")
+    if not b:
+        return False
+    probe = {
+        "lower_bounds": {c: v[0] for c, v in b.items()},
+        "upper_bounds": {c: v[1] for c, v in b.items()},
+        "partition": {},
+        "schema-id": mentry.get("bounds_schema_id", 0),
+    }
+    return _pruned(probe, filters, {}, name_maps)
+
+
+def _manifest_pruned_mor(mentry: dict, filters, name_maps: dict | None) -> bool:
+    """Manifest skip for DELETE-AWARE readers (``scan``, the DataSource):
+    only manifests recorded delete-free may be skipped — a skipped
+    manifest might otherwise hold position/equality deletes applying to
+    files kept from other manifests. ``has_deletes is False`` requires
+    the summary to have been written (missing flag -> never skip)."""
+    return mentry.get("has_deletes") is False and _manifest_pruned(
+        mentry, filters, name_maps
+    )
 
 
 def _pruned(

@@ -1247,3 +1247,150 @@ def test_immutable_json_cache(tmp_path):
     d = _read_json_immutable(p)
     assert d == [{"status": 2}]
     assert any(k[0] == p for k in _json_cache)
+
+
+# -- manifest-list column summaries (manifest-level planning skip) ------------
+
+
+def _manifest_reads(monkeypatch):
+    """Patch the JSON reader to record manifest reads; returns the list."""
+    import saber_spark.sources.iceberg_format as fmt
+
+    reads: list[str] = []
+    orig = fmt._read_json_immutable
+
+    def counting(path):
+        if path.endswith(".manifest.json"):
+            reads.append(path)
+        return orig(path)
+
+    monkeypatch.setattr(fmt, "_read_json_immutable", counting)
+    return reads
+
+
+def test_manifest_summary_skips_unread_manifests(spark, monkeypatch):
+    """Each append's manifest-list entry carries aggregated column
+    bounds; a selective filter must (a) return exactly the files the
+    per-file pruning path returns and (b) read only the manifests whose
+    summary can match — cold planning scales with MATCHING manifests,
+    not live manifests."""
+    import saber_spark.sources.iceberg_format as fmt
+
+    loc = _fresh("mlist_summary")
+    t = IcebergTable.create(loc, _turns(spark))
+    for off in (0, 4, 8, 12):  # disjoint turn_idx ranges, 4 manifests
+        t.append(_turns(spark, offset=off))
+
+    flt = [("turn_idx", ">=", 9), ("turn_idx", "<=", 10)]
+    # parity: same files as a run with manifest-level pruning disabled
+    monkeypatch.setattr(fmt, "_manifest_pruned", lambda *a: False)
+    want = {d["file_path"] for d in t.files(filters=flt)}
+    monkeypatch.undo()
+
+    reads = _manifest_reads(monkeypatch)
+    fmt._json_cache.clear()
+    got = t.files(filters=flt)
+    assert {d["file_path"] for d in got} == want and want
+    # only the offset=8 append's manifest matches [9, 10]
+    assert len(reads) == 1
+
+    # an unfiltered listing still reads everything
+    fmt._json_cache.clear()
+    reads.clear()
+    listed = t.files()
+    assert len(listed) == len({d["file_path"] for d in listed})
+    assert len(reads) == 4
+
+    # the delete-aware scan path applies the same skip (all four
+    # manifests are recorded delete-free), and the rows come back right
+    fmt._json_cache.clear()
+    reads.clear()
+    rows = t.scan(spark, filters=flt)
+    assert rows.count() > 0
+    assert {r["turn_idx"] for r in rows.collect()} == {9, 10}
+    assert len(reads) == 1
+
+
+def test_manifest_summary_backcompat_and_rename(spark, monkeypatch):
+    """Manifest-list entries written BEFORE summaries existed (no
+    'bounds' key) are always read, and summaries written before a
+    column rename keep pruning correctly afterwards (bound keys are
+    writer-time names, resolved through the same field-id name maps as
+    per-file pruning)."""
+    import json
+
+    import saber_spark.sources.iceberg_format as fmt
+
+    loc = _fresh("mlist_backcompat")
+    t = IcebergTable.create(loc, _turns(spark))
+    t.append(_turns(spark, offset=0))
+    t.append(_turns(spark, offset=4))
+
+    # simulate a pre-summary table: strip bounds from the CURRENT
+    # snapshot's manifest list (the one planning reads)
+    meta = t._read_metadata()
+    mlist = meta["snapshots"][-1]["manifest-list"]
+    with open(mlist) as f:
+        raw = json.load(f)
+    entries = [
+        {k: v for k, v in m.items() if k not in ("bounds", "bounds_schema_id")}
+        for m in raw
+    ]
+    with open(mlist, "w") as f:
+        json.dump(entries, f)
+    fmt._json_cache.clear()
+
+    flt = [("turn_idx", ">=", 5)]
+    reads = _manifest_reads(monkeypatch)
+    got = {d["file_path"] for d in t.files(filters=flt)}
+    monkeypatch.undo()
+    # with no summaries every manifest is read (cannot skip), and the
+    # results match the per-file pruning ground truth
+    assert len(reads) == len(entries) == 2
+    monkeypatch.setattr(fmt, "_manifest_pruned", lambda *a: False)
+    assert got == {d["file_path"] for d in t.files(filters=flt)}
+    monkeypatch.undo()
+
+    # rename: summaries are keyed by the writer-time name ('turn_idx');
+    # filtering on the NEW name must neither crash nor wrongly prune.
+    # The offset=8 append writes a summarized manifest pre-rename and
+    # carries the stripped entries forward as-is (mixed list: summarized
+    # and summary-less entries coexist).
+    t.append(_turns(spark, offset=8))
+    t.rename_column("turn_idx", "idx")
+    fmt._json_cache.clear()
+    after = {d["file_path"] for d in t.files(filters=[("idx", ">=", 5)])}
+    monkeypatch.setattr(fmt, "_manifest_pruned", lambda *a: False)
+    assert after == {d["file_path"] for d in t.files(filters=[("idx", ">=", 5)])}
+    monkeypatch.undo()
+    assert got < after  # the new files joined the match set
+
+
+def test_manifest_summary_survives_mor_and_rewrite(spark):
+    """Delete-file manifests never carry data bounds (nothing to prove,
+    always read), and the consolidated manifest a rewrite produces
+    re-aggregates bounds over carried + new files, so post-compaction
+    filters stay exact."""
+    loc = _fresh("mlist_mor")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    t.append(_turns(spark, offset=4))
+    up = spark.createDataFrame(
+        src.where(F.col("turn_idx") == 1).limit(3).collect(), src.schema
+    )
+    t.upsert_by_key(spark, up, ["conv_id", "turn_idx"])
+    want = _key_set(
+        t.scan(spark).where((F.col("turn_idx") >= 4) & (F.col("turn_idx") < 8))
+    )
+    got = _key_set(
+        t.scan(spark, filters=[("turn_idx", ">=", 4), ("turn_idx", "<", 8)])
+    )
+    assert got == want and want
+    t.rewrite_data_files(spark)
+    assert (
+        _key_set(
+            t.scan(spark, filters=[("turn_idx", ">=", 4), ("turn_idx", "<", 8)])
+        )
+        == want
+    )
