@@ -180,6 +180,51 @@ def minhash_signatures(
     ).select("_id", F.col("_x._seed").alias("_seed"), F.col("_x._minhash").alias("_minhash"))
 
 
+def band_structs(k: int, rows_per_band: int, col_of=None) -> Column:
+    """The (band id, band key) array every LSH surface shares — batch
+    banding (below) and the stream-side per-row banding in
+    ``streaming/dedup.py`` MUST build keys identically or candidates
+    silently vanish at the join. ``col_of(i)`` maps minhash ordinal ->
+    Column (default: the ``_m{i}`` columns of a wide signature)."""
+    if col_of is None:
+        col_of = lambda i: F.col(f"_m{i}")  # noqa: E731
+    n_bands = k // rows_per_band
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("_band"),
+                F.concat_ws(
+                    "|",
+                    *[col_of(b * rows_per_band + i) for i in range(rows_per_band)],
+                ).alias("_bk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def row_minhashes(text_col: str | Column, n: int = 3, k: int = 16) -> list[Column]:
+    """The k MinHashes as PER-ROW expressions (``array_min`` over the
+    shingle array) — bit-identical to ``minhash_signatures_wide``'s
+    explode+groupBy form (min over the same md5 values) but with no
+    shuffle and no aggregation state, which is what a STREAMING side
+    needs: signatures evaluate inside whole-stage codegen per row.
+    Batch prefers the grouped form only because its postings are reused
+    for verification."""
+    sh = word_shingles(text_col, n)
+
+    # a closure per seed — a `lambda s, j=j:` default-arg binding would
+    # make the lambda BINARY, and pyspark passes (element, index) to
+    # two-parameter transform lambdas: j would silently become the
+    # array position, not the seed
+    def seed_min(j: int) -> Column:
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"_m{j}")
+
+    return [seed_min(j) for j in range(k)]
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -201,24 +246,8 @@ def minhash_lsh_candidates(
     if k % rows_per_band != 0:
         raise ValueError(f"rows_per_band {rows_per_band} must divide k {k}")
     wide = minhash_signatures_wide(df, id_col, text_col, n, k)
-    n_bands = k // rows_per_band
     bands = wide.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("_band"),
-                        F.concat_ws(
-                            "|",
-                            *[F.col(f"_m{b * rows_per_band + i}")
-                              for i in range(rows_per_band)],
-                        ).alias("_bk"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("_x"),
+        "_id", F.explode(band_structs(k, rows_per_band)).alias("_x")
     ).select("_id", F.col("_x._band").alias("_band"), F.col("_x._bk").alias("_bk"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
