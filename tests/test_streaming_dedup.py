@@ -97,7 +97,11 @@ def test_streaming_near_dup_matches_batch_parity(spark):
     index = lsh_index(corpus).persist()
     kwargs = dict(threshold=0.5, rows_per_band=1, index=index)
 
-    want = streaming_near_dup_matches(queries, corpus, **kwargs).toPandas()
+    # batch leg reads the staged files back: _staged_queries has an
+    # unordered limit(10), so a fresh evaluation could pick different
+    # rows than the ones written above
+    staged = spark.read.parquet(f"{path}/chunk=*")
+    want = streaming_near_dup_matches(staged, corpus, **kwargs).toPandas()
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string, ts timestamp_ntz")
@@ -137,3 +141,96 @@ def test_streaming_near_dup_matches_batch_parity(spark):
     } or len(exact[exact.jaccard == 1.0]) >= 10
     # fresh docs never match anything
     assert (want.doc_id < 300000).all()
+
+
+_NEARDUP_ORACLE = """
+WITH q0 AS (SELECT doc_id, text FROM read_parquet('{qglob}')),
+c0 AS (
+    SELECT doc_id, text FROM read_parquet('{corpus}')
+    WHERE doc_id >= 0 AND doc_id < 150
+),
+qs AS (
+    SELECT doc_id, list_distinct(sh) AS shingles FROM (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' '))
+                    ELSE [array_to_string(w, ' ')] END AS sh
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS w
+              FROM q0))
+),
+cs AS (
+    SELECT doc_id, list_distinct(sh) AS shingles FROM (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' '))
+                    ELSE [array_to_string(w, ' ')] END AS sh
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\\s+', ' ', 'g'), ' ') AS w
+              FROM c0))
+),
+qp AS (SELECT doc_id, unnest(shingles) AS s FROM qs),
+cp AS (SELECT doc_id, unnest(shingles) AS s FROM cs),
+qn AS (SELECT doc_id, count(*) AS n FROM qp GROUP BY 1),
+cn AS (SELECT doc_id, count(*) AS n FROM cp GROUP BY 1),
+common AS (
+    SELECT qp.doc_id AS qid, cp.doc_id AS cid, count(*) AS c
+    FROM qp JOIN cp ON qp.s = cp.s AND qp.doc_id <> cp.doc_id
+    GROUP BY 1, 2
+)
+SELECT qid AS doc_id, cid AS dup_of,
+       round(c / (qn.n + cn.n - c), 6) AS jaccard
+FROM common
+JOIN qn ON qn.doc_id = qid
+JOIN cn ON cn.doc_id = cid
+WHERE c / (qn.n + cn.n - c) >= 0.5
+"""
+
+
+def test_streaming_near_dup_matches_duckdb_oracle(spark, duck):
+    """Independent value-level oracle: the pipeline's verified pairs ==
+    ALL (query, corpus) pairs with exact shingle-Jaccard >= 0.5,
+    recomputed from the staged parquet by DuckDB with no shared code.
+    This breaks the stream==batch symmetry of the parity test (both
+    sides there share the Spark plan) AND certifies that r=1 x k=16
+    banding loses no qualifying pair on this corpus — the same
+    corpus-independent-recall argument the batch `minhash_lsh` driver
+    oracle rests on."""
+    corpus = _docs(spark, 0, 150)
+    queries = _staged_queries(spark, corpus)
+
+    path = os.path.join(TMP, "neardup_oracle_q")
+    shutil.rmtree(path, ignore_errors=True)
+    queries.coalesce(1).write.parquet(path)
+    # re-read so Spark and DuckDB see the SAME materialized rows
+    # (_staged_queries has a limit(10), unordered by design)
+    staged = spark.read.parquet(path)
+
+    got = (
+        streaming_near_dup_matches(
+            staged, corpus, threshold=0.5, rows_per_band=1
+        )
+        .select("doc_id", "dup_of", "jaccard")
+        .toPandas()
+        .sort_values(["doc_id", "dup_of"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.execute(
+            _NEARDUP_ORACLE.format(
+                qglob=f"{path}/*.parquet",
+                corpus=f"{SF_SMOKE}/documents.parquet",
+            )
+        )
+        .df()
+        .sort_values(["doc_id", "dup_of"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got.doc_id.values == want.doc_id.values).all()
+    assert (got.dup_of.values == want.dup_of.values).all()
+    assert (abs(got.jaccard.values - want.jaccard.values) < 1e-6).all()
