@@ -209,3 +209,37 @@ def test_temperature_sample_broadcasts_rates_and_never_shuffles_corpus(spark):
     # above the raw corpus scan
     for frag in plan.split("Exchange hashpartitioning")[1:]:
         assert "partial" in frag.split("Exchange")[0] or "HashAggregate" in frag.split("Exchange")[0]
+
+
+def test_streaming_near_dup_signatures_are_shuffle_free(spark):
+    """The stream side of streaming/dedup.py must compute its k
+    minhashes as per-row expressions: an Exchange or HashAggregate
+    there would mean per-micro-batch shuffles and aggregation state —
+    exactly what the per-row array_min construction exists to avoid.
+    The candidate join must be an equi-join on the band key, never a
+    cartesian, and nothing in the pipeline may drop to row Python."""
+    from saber_spark.operators.dedup import row_minhashes
+    from saber_spark.streaming.dedup import streaming_near_dup_matches
+
+    docs = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("ts", F.current_timestamp())
+    )
+
+    sig_plan = _plan_of(docs.select("doc_id", *row_minhashes("text")))
+    assert "Exchange" not in sig_plan
+    assert "HashAggregate" not in sig_plan
+    assert "BatchEvalPython" not in sig_plan
+    # one Project over the scan — higher-order fns (transform/array_min)
+    # run outside whole-stage codegen but stay JVM-side expressions
+    assert sig_plan.strip().startswith("Project")
+
+    # batch twin of the full pipeline (same code path; isStreaming only
+    # swaps dropDuplicatesWithinWatermark for dropDuplicates)
+    plan = _plan_of(
+        streaming_near_dup_matches(docs, docs.select("doc_id", "text"))
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
