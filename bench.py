@@ -472,7 +472,7 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = (2, 8),
             "simhash's 60 aggregation buffers are allocation-heavy (GC also\n"
             "shared). The compute-bound operators (hashing, joins, pane\n"
             "aggregation) reach 0.8-1.0 on the same runs.\n\n"
-            "Per-query median seconds:\n\n```json\n"
+            "Per-query best-of (minimum) seconds:\n\n```json\n"
             + json.dumps({f"local[{c}]": med[c] for c in levels}, indent=2)
             + "\n```\n\nRaw rounds:\n\n```json\n"
             + json.dumps({f"local[{c}]": [r["queries"] for r in runs[c]] for c in levels}, indent=2)

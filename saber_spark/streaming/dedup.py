@@ -21,7 +21,12 @@ CANDIDATES, never corpus size):
    ``minhash_lsh_candidates``. Pairs sharing several bands are deduped
    with ``dropDuplicatesWithinWatermark`` — state bounded by the
    watermark horizon (the ``streaming_exact_dedup`` bound), not stream
-   life.
+   life (dedup state stores the key tuple, not the row). At-scale note:
+   the stream carries its text through the k/r band rows, so if the
+   index is too big to broadcast the candidate shuffle moves each
+   streamed doc's text k/r times; with the default k=16, r=2 that is a
+   bounded 8× on the INGEST (small) side only — the corpus side ships
+   ids, never text, and verification re-joins text for candidates only.
 4. **Verification on candidates only**: the corpus text joins back by
    id (stream-static) and exact shingle-Jaccard is computed as
    ``|array_intersect| / |array_union|`` of the two distinct-shingle
