@@ -677,3 +677,146 @@ def simhash_pairs(
     for p in per_band[1:]:
         pairs = pairs.unionByName(p)
     return pairs.where(F.col("hamming") <= max_hamming).distinct()
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicated-substring spans (Lee et al. 2021 style)
+# --------------------------------------------------------------------------
+
+def _token_ngram_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, pos, g): md5 of the n-token window starting at 0-based
+    token position ``pos`` of the normalized text. Docs shorter than n
+    tokens emit nothing. Pure Catalyst (split + transform + posexplode);
+    row count = Σ max(0, tokens-n+1) ≈ corpus token count — the same
+    order as tokenizing the corpus, which any substring-dedup pass pays.
+    """
+    from saber_spark.operators.textops import words
+
+    w = words(F.col(text_col))
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.md5(F.array_join(F.slice(w, i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "g")
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Exact duplicated-substring spans ACROSS documents — the
+    distributed n-gram approximation of suffix-array substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better": remove exact token runs appearing in more than one
+    document). A token position is duplicated when the n-token window
+    starting there occurs in ≥ ``min_docs`` distinct docs; overlapping /
+    adjacent duplicated windows merge into maximal spans.
+
+    Returns (doc_id, span_start, span_end, n_dup_grams): token-index
+    half-open span [span_start, span_end) plus the number of duplicated
+    n-gram positions merged into it.
+
+    Scale design: one map-side-combinable groupBy on the 32-char gram
+    hash (count-distinct-docs is a two-phase partial aggregate), one
+    hash equi-join of positions against the duplicated-gram set, and a
+    per-doc window for interval merge (shuffles by doc_id — bounded by
+    per-doc hit count). Never all-pairs, never a cartesian. ``max_docs``
+    is the boilerplate guard: ultra-frequent n-grams (site chrome,
+    license headers) explode the hit join at 100 TB exactly like
+    stopword postings — cap their doc frequency and handle boilerplate
+    with a dedicated pass instead.
+    """
+    from pyspark.sql import Window
+
+    grams = _token_ngram_positions(df, id_col, text_col, n)
+    stats = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df_docs"))
+    dup = stats.where(F.col("df_docs") >= min_docs)
+    if max_docs is not None:
+        dup = dup.where(F.col("df_docs") <= max_docs)
+    hits = grams.join(dup.select("g"), "g").select("doc_id", "pos")
+
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("ni"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("ni").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n).cast("long").alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .drop("island")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Clean-text companion to :func:`duplicate_ngram_spans`: for every
+    AFFECTED doc (≥1 duplicated position), drop all tokens covered by
+    any duplicated n-gram window and re-join the survivors in order.
+    Docs whose every token is covered disappear (nothing survives) —
+    the caller unions untouched docs back if it wants the full corpus.
+
+    Returns (doc_id, clean_text).
+
+    Scale: covered-position expansion is hits × n rows (duplicated
+    positions only, not the corpus); the token-level anti-join and the
+    ordered re-assembly both shuffle by doc_id only.
+    """
+    from saber_spark.operators.textops import words
+
+    grams = _token_ngram_positions(df, id_col, text_col, n)
+    stats = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df_docs"))
+    dup = stats.where(F.col("df_docs") >= min_docs)
+    if max_docs is not None:
+        dup = dup.where(F.col("df_docs") <= max_docs)
+    hits = grams.join(dup.select("g"), "g").select("doc_id", "pos")
+
+    covered = hits.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p"),
+    ).distinct()
+    affected = hits.select("doc_id").distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(F.col(text_col))).alias("p", "tok"),
+    ).join(affected, "doc_id")
+    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )

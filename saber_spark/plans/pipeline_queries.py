@@ -171,6 +171,98 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.decontaminate(corpus, bench).select("doc_id", "contaminated")
 
 
+# Cross-document duplicated-substring spans: the distributed n-gram
+# approximation of suffix-array exact-substring dedup (Lee et al. 2021,
+# arXiv:2107.06499 — remove exact token runs shared across documents).
+# Two legs in one driver row (the strategies discipline): 'spans' =
+# per-doc maximal duplicated spans [span_start, span_end) in token
+# positions with the merged duplicated-gram count; 'clean' = affected
+# docs with every covered token removed and the survivors re-joined in
+# order (a text-level equality check of the whole pipeline). The oracle
+# replays the identical construction in SQL: same normalization, same
+# md5-of-8-token-window hash, same count-distinct-docs >= 2 predicate,
+# same window-function island merge.
+_SPAN_N = 8
+
+_SPANS_ORACLE = f"""
+WITH {_W},
+toks AS (
+    SELECT doc_id, i - 1 AS p, words[i] AS tok
+    FROM w, UNNEST(range(1, len(words) + 1)) AS t(i)
+),
+grams AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(words[i+1:i+{_SPAN_N}], ' ')) AS g
+    FROM w, UNNEST(range(0, len(words) - {_SPAN_N} + 1)) AS t(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + {_SPAN_N}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS ni
+    FROM hits
+),
+islands AS (
+    SELECT doc_id, pos, sum(ni) OVER (
+        PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+spans AS (
+    SELECT doc_id, min(pos) AS span_start, max(pos) + {_SPAN_N} AS span_end,
+           count(*) AS n_dup_grams
+    FROM islands GROUP BY doc_id, island
+),
+covered AS (
+    SELECT DISTINCT doc_id, pos + u AS p
+    FROM hits, UNNEST(range(0, {_SPAN_N})) AS t(u)
+),
+affected AS (SELECT DISTINCT doc_id FROM hits),
+kept AS (
+    SELECT tk.doc_id, tk.p, tk.tok
+    FROM toks tk JOIN affected USING (doc_id)
+    WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = tk.doc_id AND c.p = tk.p)
+),
+clean AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT 'spans' AS leg, doc_id, span_start, span_end, n_dup_grams,
+       CAST(NULL AS VARCHAR) AS clean_text
+FROM spans
+UNION ALL
+SELECT 'clean' AS leg, doc_id, CAST(NULL AS BIGINT) AS span_start,
+       CAST(NULL AS BIGINT) AS span_end, CAST(NULL AS BIGINT) AS n_dup_grams,
+       clean_text
+FROM clean
+"""
+
+
+@register("dedup_substring_spans", _SPANS_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    spans = dd.duplicate_ngram_spans(docs, n=_SPAN_N).select(
+        F.lit("spans").alias("leg"),
+        "doc_id",
+        "span_start",
+        "span_end",
+        "n_dup_grams",
+        F.lit(None).cast("string").alias("clean_text"),
+    )
+    clean = dd.remove_duplicate_spans(docs, n=_SPAN_N).select(
+        F.lit("clean").alias("leg"),
+        "doc_id",
+        F.lit(None).cast("long").alias("span_start"),
+        F.lit(None).cast("long").alias("span_end"),
+        F.lit(None).cast("long").alias("n_dup_grams"),
+        "clean_text",
+    )
+    return spans.unionByName(clean)
+
+
 def _simhash_sql_cte() -> str:
     """DuckDB CTE computing the identical 60-bit simhash per doc."""
     votes = []

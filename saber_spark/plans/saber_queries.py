@@ -868,12 +868,16 @@ GROUP BY 1, 2
 """)
 
 
-@register("sg1_global_sliding_avg", _SG1_ORACLE)
 def sg1_global_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SG1 shape (figure-07): global average over a 1 h window sliding by
     5 min — no group key. Pane partials shrink the input to #panes rows
     before the window fan-out, so the keyless global aggregate never
-    replicates raw rows."""
+    replicates raw rows.
+
+    (Rotated out of the driver registry in r5 to fund
+    dedup_substring_spans: the keyless pane path stays value-checked in
+    tests/test_rotated_out.py, and both pane strategies remain
+    driver-checked through cm1_pane_strategies.)"""
     from saber_spark.operators.panes import pane_windowed_aggregate as _pwa
 
     t = transcripts(spark, sf_dir).select("ts", F.length("text").alias("text_len"))

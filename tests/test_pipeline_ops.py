@@ -517,3 +517,84 @@ def test_multimodal_resize_and_features_compose_with_ann(spark, docs):
     }
     assert sim[(1, 2)] > 0.999
     assert sim[(1, 3)] < sim[(1, 2)] - 0.1
+
+
+# --------------------------------------------------------------------------
+# duplicate_ngram_spans / remove_duplicate_spans (Lee et al. 2021 style)
+# --------------------------------------------------------------------------
+
+# 8 tokens — shorter than the n=10 window, so pure-boilerplate overlap
+# alone can never form a duplicated 10-gram in these fixtures
+_BOILER = "terms of service apply to all site content"
+
+
+@pytest.fixture(scope="module")
+def span_corpus(spark):
+    """Three docs sharing one exact 10-token passage, one unique doc,
+    plus boilerplate shared by all four."""
+    shared = "the quick brown fox jumps over the lazy sleeping dog"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta {_BOILER}"),
+        (2, f"{shared} epsilon zeta {_BOILER}"),
+        (3, f"one two three four {shared}"),
+        (4, f"totally unique words nothing repeats here at all {_BOILER}"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_duplicate_spans_finds_the_shared_passage(spark, span_corpus):
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dd.duplicate_ngram_spans(span_corpus, n=10).collect()
+    }
+    # the 10-token shared passage starts at token 2 / 0 / 4; doc 4 has
+    # no 10-token run shared with anyone
+    assert (1, 2, 12) in spans
+    assert (2, 0, 10) in spans
+    assert (3, 4, 14) in spans
+    assert not any(d == 4 for d, *_ in spans)
+
+
+def test_adjacent_and_overlapping_windows_merge_into_one_span(spark):
+    """An 11-token shared run yields two overlapping 10-gram hits
+    (pos p and p+1) — they must merge into ONE [p, p+11) span."""
+    run = "a b c d e f g h i j k"
+    df = spark.createDataFrame(
+        [(1, f"x y {run} z"), (2, f"{run} q r s")],
+        "doc_id bigint, text string",
+    )
+    spans = dd.duplicate_ngram_spans(df, n=10).collect()
+    by_doc = {r.doc_id: (r.span_start, r.span_end, r.n_dup_grams) for r in spans}
+    assert len(spans) == 2
+    assert by_doc[1] == (2, 13, 2)
+    assert by_doc[2] == (0, 11, 2)
+
+
+def test_max_docs_cap_guards_boilerplate(spark, span_corpus):
+    """With the boilerplate guard at max_docs=2, the 3-doc shared passage
+    drops out and only runs shared by exactly 2 docs survive — the
+    posting-list stop-gram discipline applied to substring dedup."""
+    uncapped = dd.duplicate_ngram_spans(span_corpus, n=9, min_docs=3)
+    assert uncapped.count() > 0  # passage shared by docs 1-3 IS 3-doc
+    capped = dd.duplicate_ngram_spans(span_corpus, n=9, min_docs=3, max_docs=2)
+    assert capped.count() == 0
+
+
+def test_remove_duplicate_spans_reconstructs_survivor_text(spark, span_corpus):
+    clean = {
+        r.doc_id: r.clean_text
+        for r in dd.remove_duplicate_spans(span_corpus, n=10).collect()
+    }
+    assert clean[1] == f"alpha beta gamma delta {_BOILER}"
+    assert clean[2] == f"epsilon zeta {_BOILER}"
+    assert clean[3] == "one two three four"
+    assert 4 not in clean  # untouched docs are not emitted
+
+
+def test_fully_covered_doc_disappears_from_clean_output(spark):
+    run = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, run), (2, f"pre {run} post")], "doc_id bigint, text string"
+    )
+    clean = {r.doc_id: r.clean_text for r in dd.remove_duplicate_spans(df, n=10).collect()}
+    assert clean == {2: "pre post"}

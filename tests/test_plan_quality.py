@@ -243,3 +243,15 @@ def test_streaming_near_dup_signatures_are_shuffle_free(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_spans_stays_jvm_side_with_hash_joins(spark):
+    """The duplicated-span pipeline (Lee et al. 2021 n-gram
+    approximation) must be pure Catalyst: no Python row UDFs, duplicated-
+    gram lookup and covered-position anti-join as hash equi-joins (never
+    nested-loop), and the gram doc-frequency aggregate map-side partial."""
+    plan = _plan(spark, "dedup_substring_spans")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # gram df: two-phase count-distinct

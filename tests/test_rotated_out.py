@@ -35,6 +35,9 @@ def _builder(module: str, name: str):
         ("saber_queries", "sg3_outlier_count", "_SG3_ORACLE"),
         # r5: slot went back to scalar_function_surface
         ("saber_queries", "w2_projection_reduction", "_W2_ORACLE"),
+        # r5 (cont.): slot went to dedup_substring_spans; keyless pane
+        # path still driver-checked through cm1_pane_strategies
+        ("saber_queries", "sg1_global_sliding_avg", "_SG1_ORACLE"),
     ],
 )
 def test_rotated_out_builder_matches_oracle(spark, duck, module, name, oracle_name):
