@@ -58,13 +58,16 @@ METRIC_WORKLOAD = ("ysb_windowed_agg", "cm1_pane_incremental")
 
 def _headline_builders(qs: dict) -> dict:
     """Registry queries + shapes consolidated out of the 50-entry registry
-    that the bench still times (they remain exported builders; the r4
-    rotation moved cm1_pane_incremental, theta_join_hot_salted and
-    theta_join_row_window behind union-tagged driver entries)."""
+    that the bench still times (they remain exported builders; registry
+    rotations must NOT silently shrink the 19-shape headline, so every
+    HEADLINE name that has ever rotated out is pinned here — the r5
+    rotations of sg3/sg1 briefly dropped them from the denominator)."""
     from saber_spark.plans.saber_queries import (
         cm1_pane_fanout,
         cm1_pane_incremental,
         row_window_sliding_agg,
+        sg1_global_sliding_avg,
+        sg3_outlier_count,
         theta_join_hot_salted,
         theta_join_row_window,
         theta_join_windowed,
@@ -72,9 +75,13 @@ def _headline_builders(qs: dict) -> dict:
 
     out = dict(qs)
     for fn in (cm1_pane_fanout, cm1_pane_incremental, row_window_sliding_agg,
+               sg1_global_sliding_avg, sg3_outlier_count,
                theta_join_hot_salted, theta_join_row_window,
                theta_join_windowed):
         out.setdefault(fn.__name__, fn)
+    missing = [n for n in HEADLINE if n not in out]
+    if missing:
+        raise RuntimeError(f"headline shapes lost to rotation: {missing}")
     return out
 
 
