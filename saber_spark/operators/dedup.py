@@ -691,6 +691,7 @@ def _token_ngram_positions(
     tokens emit nothing. Pure Catalyst (split + transform + posexplode);
     row count = Σ max(0, tokens-n+1) ≈ corpus token count — the same
     order as tokenizing the corpus, which any substring-dedup pass pays.
+
     """
     from saber_spark.operators.textops import words
 
@@ -705,6 +706,20 @@ def _token_ngram_positions(
     return df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "g")
     )
+
+
+def _fan_out_if_underparallel(df: DataFrame) -> DataFrame:
+    """Gram construction is CPU-bound (md5 per token position, an
+    interpreted higher-order function), so parallelism must match
+    cores: when the scan under-parallelizes (few small input files — a
+    bench/test artifact; at real scale parquet splits give natural
+    parallelism), fan the compact pre-explode rows out first. The guard
+    never fires when input partitions already cover the cluster, so no
+    shuffle is added at scale."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
 def duplicate_ngram_spans(
@@ -739,6 +754,7 @@ def duplicate_ngram_spans(
     """
     from pyspark.sql import Window
 
+    df = _fan_out_if_underparallel(df)
     grams = _token_ngram_positions(df, id_col, text_col, n)
     stats = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df_docs"))
     dup = stats.where(F.col("df_docs") >= min_docs)
@@ -794,6 +810,7 @@ def remove_duplicate_spans(
     """
     from saber_spark.operators.textops import words
 
+    df = _fan_out_if_underparallel(df)
     grams = _token_ngram_positions(df, id_col, text_col, n)
     stats = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df_docs"))
     dup = stats.where(F.col("df_docs") >= min_docs)
