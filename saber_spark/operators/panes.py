@@ -159,9 +159,20 @@ def _pane_partials(df, pos, aggs, part_keys) -> DataFrame:
     return df.groupBy(pos.alias("_pane"), *[F.col(k) for k in part_keys]).agg(*agg_exprs)
 
 
-def _recombine_fanout(partials, wd, aggs, part_keys) -> DataFrame:
-    """Pane -> windows explode + merge groupBy (pure Catalyst)."""
-    pane = wd.pane_size
+def _recombine_fanout(partials, wd, aggs, part_keys, pane=None) -> DataFrame:
+    """Pane -> windows explode + merge groupBy (pure Catalyst).
+
+    ``pane`` overrides ``wd.pane_size`` when the partials were computed
+    at a FINER pane than this window's own gcd — the multi-query sharing
+    path (:func:`shared_pane_aggregate`) aggregates once at the global
+    gcd across queries. Exactness is preserved for any pane dividing the
+    slide (every row of a pane still belongs to one window set), and the
+    candidate count ``windows_per_row`` is pane-independent: window
+    starts are multiples of the slide, so an interval of length ``size``
+    contains at most ceil(size/slide) of them."""
+    pane = wd.pane_size if pane is None else pane
+    if wd.slide % pane:
+        raise ValueError(f"pane {pane} must divide slide {wd.slide}")
     stride = wd.slide // pane  # panes per slide
     n = wd.windows_per_row  # ceil(size/slide) candidate windows per pane
     pcols = _partial_cols(aggs)
@@ -298,3 +309,92 @@ def _recombine_incremental(partials, wd, aggs, part_keys) -> DataFrame:
     else:
         grouped = partials.withColumn("_g", F.lit(1)).groupBy("_g")
     return grouped.applyInPandas(combine, out_schema)
+
+
+def shared_pane_aggregate(
+    df: DataFrame,
+    queries: dict[str, WindowDef],
+    aggs: Sequence[AggSpec],
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """MULTI-QUERY window sharing: N concurrent RANGE sliding-window
+    queries answered from ONE pane-partial aggregation in ONE plan.
+
+    Saber runs many window queries over the same stream (figure-07's
+    CM/SG/LRB set); each differs only in (size, slide). Decomposing at
+    the GLOBAL pane — gcd over every query's size and slide — lets one
+    ``groupBy(pane, keys)`` serve them all. Rather than unioning N
+    recombinations (which plans N aggregations and relies on exchange
+    reuse that Catalyst does not guarantee across union branches), each
+    pane partial fans out to its owning (query, window) pairs in a
+    single explode, and one merge groupBy keyed on (query, window,
+    keys) finishes every query at once. The physical plan is exactly:
+    scan → pane partial agg → exchange → explode(Σ_q ceil(size/slide))
+    → merge agg → exchange — one scan and two shuffles TOTAL regardless
+    of how many queries subscribe (asserted in tests/test_panes.py).
+    The batch analogue of Saber dispatching one stream to many query
+    tasks.
+
+    Returns the union-shaped result tagged by ``query`` name, each leg
+    bit-identical to ``pane_windowed_aggregate(df, wd, ...)`` run alone.
+
+    Scale: shuffle volume is #global-panes × #keys (finer gcd → more
+    panes — the cost of sharing is pane granularity, bounded by
+    gcd(all sizes, all slides); degenerate 1-second global panes over
+    years of data mean the queries were too heterogeneous to share —
+    split the set instead).
+    """
+    if not queries:
+        raise ValueError("need at least one query")
+    import math as _math
+
+    for name, wd in queries.items():
+        if wd.kind != RANGE:
+            raise ValueError(f"query {name!r}: shared panes cover RANGE windows only")
+    pane = 0
+    for wd in queries.values():
+        pane = _math.gcd(pane, _math.gcd(wd.size, wd.slide))
+
+    pos = F.floor(
+        F.col(ts_col).cast("timestamp").cast("double") / F.lit(pane)
+    ).cast("long")
+    part_keys = list(keys)
+    partials = _pane_partials(df, pos, aggs, part_keys)
+
+    # every (query, candidate-offset) this pane could feed, as literals
+    entries = [
+        F.struct(
+            F.lit(name).alias("q"),
+            F.lit(j).alias("j"),
+            F.lit(wd.slide // pane).alias("stride"),
+            F.lit(wd.size).alias("size"),
+        )
+        for name, wd in queries.items()
+        for j in range(wd.windows_per_row)
+    ]
+    pcols = _partial_cols(aggs)
+    base = (
+        F.floor(F.col("_pane") / F.col("_e.stride")) * F.col("_e.stride")
+    ).cast("long")
+    fanned = (
+        partials.withColumn("_e", F.explode(F.array(*entries)))
+        .withColumn("_w", base - F.col("_e.j") * F.col("_e.stride"))
+        # window [w, w + size) must still contain this pane
+        .where(F.col("_pane") * pane < F.col("_w") * pane + F.col("_e.size"))
+    )
+    merged = fanned.groupBy(
+        F.col("_e.q").alias("query"),
+        F.col("_e.size").alias("_size"),
+        F.col("_w"),
+        *[F.col(k) for k in part_keys],
+    ).agg(
+        *[_MERGE_FN[stat](F.col(name)).alias(name) for name, (stat, _) in pcols.items()]
+    )
+    return merged.select(
+        "query",
+        (F.col("_w") * pane).alias("window_start"),
+        (F.col("_w") * pane + F.col("_size")).alias("window_end"),
+        *keys,
+        *[_final_col(a) for a in aggs],
+    )

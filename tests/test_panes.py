@@ -125,3 +125,61 @@ def test_pane_math():
     assert wd.panes_per_slide == 1
     wd2 = WindowDef(ROW, 1024, 96)
     assert wd2.pane_size == 32
+
+
+# --------------------------------------------------------------------------
+# Multi-query window sharing: one pane aggregation, N queries
+# --------------------------------------------------------------------------
+
+_SHARED_QUERIES = {
+    "hour_by_10min": WindowDef(RANGE, 3600, 600),
+    "halfhour_by_5min": WindowDef(RANGE, 1800, 300),
+    "2hour_tumbling": WindowDef(RANGE, 7200, 7200),
+}
+
+
+@pytest.mark.parametrize("keys", [[], ["tool"]], ids=["nokey", "tool"])
+def test_shared_pane_legs_match_individual_runs(spark, keys):
+    """Every leg of the shared plan must be bit-identical to running
+    pane_windowed_aggregate (and therefore windowed_aggregate — the
+    existing parity suite) for that window alone."""
+    from saber_spark.operators.panes import shared_pane_aggregate
+
+    t = transcripts(spark, SF_SMOKE).select(
+        "tool", "ts", F.length("text").cast("long").alias("text_len")
+    )
+    shared = shared_pane_aggregate(t, _SHARED_QUERIES, AGGS, keys=keys)
+    for name, wd in _SHARED_QUERIES.items():
+        leg = shared.where(F.col("query") == name).drop("query")
+        solo = pane_windowed_aggregate(t, wd, AGGS, keys=keys, method="fanout")
+        _cmp(leg, solo)
+
+
+def test_shared_pane_is_one_scan_two_shuffles(spark):
+    """The point of sharing: one scan, one pane aggregation and one
+    merge aggregation serve ALL queries — the plan must contain exactly
+    one FileScan and two hash-partitioning exchanges no matter how many
+    windows subscribe."""
+    import re
+
+    from saber_spark.operators.panes import shared_pane_aggregate
+
+    t = transcripts(spark, SF_SMOKE).select(
+        "tool", "ts", F.length("text").cast("long").alias("text_len")
+    )
+    df = shared_pane_aggregate(t, _SHARED_QUERIES, AGGS, keys=["tool"])
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, "input scanned more than once"
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_shared_pane_rejects_row_windows(spark):
+    from saber_spark.operators.panes import shared_pane_aggregate
+
+    t = _prep(spark)
+    with pytest.raises(ValueError, match="RANGE"):
+        shared_pane_aggregate(
+            t, {"bad": WindowDef(ROW, 10, 5)}, AGGS
+        )
