@@ -421,8 +421,11 @@ GROUP BY role, next_role
 """)
 
 
-@register("turn_latency_analytics", _LATENCY_ORACLE)
 def turn_latency_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(Rotated out of the driver registry in r5-cont. to fund
+    shared_window_queries: the lead()-window surface stays driver-checked
+    through cep_match_strategies, and the oracle check lives in
+    tests/test_rotated_out.py.)"""
     from pyspark.sql.window import Window
 
     t = transcripts(spark, sf_dir)
@@ -866,6 +869,62 @@ SELECT (CAST(floor(epoch(ts) / 300) AS BIGINT) - r.k) * 300        AS window_sta
 FROM transcripts, range(0, 12) AS r(k)
 GROUP BY 1, 2
 """)
+
+
+# --------------------------------------------------------------------------
+# Multi-query window sharing (Saber's many-queries-one-stream trait):
+# three concurrent sliding/tumbling window queries answered by ONE pane
+# aggregation at the global gcd pane — 1 scan + 2 shuffles for all
+# three. The oracle replays each window query independently in SQL
+# (per-row window replication, the _SG1_ORACLE pattern) and unions
+# them, so the single shared plan is value-checked against three
+# separate oracle aggregations at once.
+# --------------------------------------------------------------------------
+
+_SHARED_WINDOWS = {
+    "1h_by_10m": (3600, 600),
+    "30m_by_5m": (1800, 300),
+    "2h_tumbling": (7200, 7200),
+}
+
+_SHARED_ORACLE = with_transcripts_oracle("\nUNION ALL\n".join(
+    f"""
+SELECT '{name}' AS query,
+       (CAST(floor(epoch(ts) / {slide}) AS BIGINT) - r.k) * {slide}            AS window_start,
+       (CAST(floor(epoch(ts) / {slide}) AS BIGINT) - r.k) * {slide} + {size}   AS window_end,
+       tool,
+       count(*)           AS n_turns,
+       avg(length(text))  AS avg_len,
+       max(length(text))  AS max_len
+FROM transcripts, range(0, {size // slide}) AS r(k)
+GROUP BY 1, 2, 3, 4
+"""
+    for name, (size, slide) in _SHARED_WINDOWS.items()
+))
+
+
+@register("shared_window_queries", _SHARED_ORACLE)
+def shared_window_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Figure-07-style concurrent window set on one shared pane pass
+    (global pane = gcd = 300 s). Each leg is bit-identical to running
+    its window alone (tests/test_panes.py parity); the plan is one scan,
+    one pane aggregate, one merge aggregate regardless of query count
+    (plan-asserted). BENCH/SLIDES.md measures 3.46x for 5 queries."""
+    from saber_spark.operators.panes import shared_pane_aggregate
+
+    t = transcripts(spark, sf_dir).select(
+        "tool", "ts", F.length("text").cast("long").alias("text_len")
+    )
+    return shared_pane_aggregate(
+        t,
+        {n: WindowDef(RANGE, sz, sl) for n, (sz, sl) in _SHARED_WINDOWS.items()},
+        [
+            AggSpec("cnt", "*", "n_turns"),
+            AggSpec("avg", "text_len", "avg_len"),
+            AggSpec("max", "text_len", "max_len"),
+        ],
+        keys=["tool"],
+    )
 
 
 def sg1_global_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:

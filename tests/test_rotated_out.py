@@ -38,6 +38,9 @@ def _builder(module: str, name: str):
         # r5 (cont.): slot went to dedup_substring_spans; keyless pane
         # path still driver-checked through cm1_pane_strategies
         ("saber_queries", "sg1_global_sliding_avg", "_SG1_ORACLE"),
+        # r5 (cont.): slot went to shared_window_queries; the lead()-
+        # window surface stays driver-checked through cep_match_strategies
+        ("saber_queries", "turn_latency_analytics", "_LATENCY_ORACLE"),
     ],
 )
 def test_rotated_out_builder_matches_oracle(spark, duck, module, name, oracle_name):
