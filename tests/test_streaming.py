@@ -1034,3 +1034,50 @@ def test_streaming_windowed_sketches_parity(spark, stream_dir):
                 assert approx == exact, (r["window_start"], qi, approx, exact)
     finally:
         q.stop()
+
+
+def test_streaming_shared_panes_parity(spark, stream_dir):
+    """ONE shared pane ring per key serving three concurrent window
+    queries must emit, per query, exactly what the batch shared plan
+    produces restricted to window_end <= final watermark — and hold one
+    state row per key TOTAL (not per query)."""
+    from saber_spark.operators.panes import shared_pane_aggregate
+    from saber_spark.streaming.panes import streaming_shared_pane_aggregate
+
+    shutil.rmtree(os.path.join(TMP, "ckpt_shpane"), ignore_errors=True)
+    qs = {
+        "1h_by_10m": WindowDef(RANGE, 3600, 600),
+        "30m_by_5m": WindowDef(RANGE, 1800, 300),
+        "2h_tumbling": WindowDef(RANGE, 7200, 7200),
+    }
+    stream = _read_stream(spark, stream_dir, max_files_per_trigger=1)
+    out = streaming_shared_pane_aggregate(
+        stream, qs, value_col="text_len", keys=("role",), watermark="0 seconds"
+    )
+    q = _run_to_memory(out, "shpane", "append")
+    try:
+        wm = q.lastProgress["eventTime"]["watermark"]
+        wm_epoch = pd.Timestamp(wm).timestamp()
+        got = _norm(spark.sql(
+            "SELECT query, window_start, window_end, role, n_rows, sum_val,"
+            " min_val, max_val, avg_val FROM shpane").toPandas())
+        batch = transcripts(spark, SF_SMOKE).select(
+            "role", "ts", F.length("text").cast("long").alias("text_len"))
+        full = shared_pane_aggregate(
+            batch, qs,
+            [AggSpec("cnt", "*", "n_rows"), AggSpec("sum", "text_len", "sum_val"),
+             AggSpec("min", "text_len", "min_val"), AggSpec("max", "text_len", "max_val"),
+             AggSpec("avg", "text_len", "avg_val")],
+            keys=["role"],
+        ).toPandas()
+        want = _norm(full[full.window_end <= wm_epoch])
+        assert len(got) > 0
+        assert sorted(got["query"].unique()) == sorted(qs)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # the whole point: one pane ring per key TOTAL, not one per query
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        assert state_rows <= 3 * 2, (  # 3 roles, generous factor
+            f"state holds {state_rows} rows — the ring is not shared"
+        )
+    finally:
+        q.stop()
