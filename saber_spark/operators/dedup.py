@@ -722,6 +722,29 @@ def _fan_out_if_underparallel(df: DataFrame) -> DataFrame:
     return df
 
 
+def _duplicated_hits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_docs: int,
+    max_docs: int | None,
+) -> DataFrame:
+    """(doc_id, pos) of every token position whose n-gram occurs in
+    ≥ min_docs (and, with the boilerplate cap, ≤ max_docs) distinct
+    docs — the ONE construction both the span and the clean-text
+    operators derive from. Production pipelines computing both outputs
+    should build this once (persist or pass through a single plan)
+    rather than calling the two public operators separately."""
+    df = _fan_out_if_underparallel(df)
+    grams = _token_ngram_positions(df, id_col, text_col, n)
+    stats = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df_docs"))
+    dup = stats.where(F.col("df_docs") >= min_docs)
+    if max_docs is not None:
+        dup = dup.where(F.col("df_docs") <= max_docs)
+    return grams.join(dup.select("g"), "g").select("doc_id", "pos")
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -754,13 +777,7 @@ def duplicate_ngram_spans(
     """
     from pyspark.sql import Window
 
-    df = _fan_out_if_underparallel(df)
-    grams = _token_ngram_positions(df, id_col, text_col, n)
-    stats = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df_docs"))
-    dup = stats.where(F.col("df_docs") >= min_docs)
-    if max_docs is not None:
-        dup = dup.where(F.col("df_docs") <= max_docs)
-    hits = grams.join(dup.select("g"), "g").select("doc_id", "pos")
+    hits = _duplicated_hits(df, id_col, text_col, n, min_docs, max_docs)
 
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
@@ -811,12 +828,7 @@ def remove_duplicate_spans(
     from saber_spark.operators.textops import words
 
     df = _fan_out_if_underparallel(df)
-    grams = _token_ngram_positions(df, id_col, text_col, n)
-    stats = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df_docs"))
-    dup = stats.where(F.col("df_docs") >= min_docs)
-    if max_docs is not None:
-        dup = dup.where(F.col("df_docs") <= max_docs)
-    hits = grams.join(dup.select("g"), "g").select("doc_id", "pos")
+    hits = _duplicated_hits(df, id_col, text_col, n, min_docs, max_docs)
 
     covered = hits.select(
         "doc_id",

@@ -159,20 +159,14 @@ def _pane_partials(df, pos, aggs, part_keys) -> DataFrame:
     return df.groupBy(pos.alias("_pane"), *[F.col(k) for k in part_keys]).agg(*agg_exprs)
 
 
-def _recombine_fanout(partials, wd, aggs, part_keys, pane=None) -> DataFrame:
+def _recombine_fanout(partials, wd, aggs, part_keys) -> DataFrame:
     """Pane -> windows explode + merge groupBy (pure Catalyst).
 
-    ``pane`` overrides ``wd.pane_size`` when the partials were computed
-    at a FINER pane than this window's own gcd — the multi-query sharing
-    path (:func:`shared_pane_aggregate`) aggregates once at the global
-    gcd across queries. Exactness is preserved for any pane dividing the
-    slide (every row of a pane still belongs to one window set), and the
-    candidate count ``windows_per_row`` is pane-independent: window
-    starts are multiples of the slide, so an interval of length ``size``
-    contains at most ceil(size/slide) of them."""
-    pane = wd.pane_size if pane is None else pane
-    if wd.slide % pane:
-        raise ValueError(f"pane {pane} must divide slide {wd.slide}")
+    (The multi-query sharing path, :func:`shared_pane_aggregate`,
+    recombines at the FINER global-gcd pane with its own single-explode
+    fan-out over (query, window) pairs rather than through this
+    per-window helper.)"""
+    pane = wd.pane_size
     stride = wd.slide // pane  # panes per slide
     n = wd.windows_per_row  # ceil(size/slide) candidate windows per pane
     pcols = _partial_cols(aggs)

@@ -298,7 +298,9 @@ def streaming_shared_pane_aggregate(
             T.StructField("avg_val", T.DoubleType()),
         ]
     )
-    # ONE shared pane ring + a per-query emitted high-water mark
+    # ONE shared pane ring + a per-query emitted high-water mark; the
+    # query names ride along so a checkpoint resume with a changed query
+    # set fails loudly instead of mispairing emit marks positionally
     state_schema = T.StructType(
         [
             T.StructField("panes", T.ArrayType(T.LongType())),
@@ -307,12 +309,20 @@ def streaming_shared_pane_aggregate(
             T.StructField("mins", T.ArrayType(T.LongType())),
             T.StructField("maxs", T.ArrayType(T.LongType())),
             T.StructField("emitted_ms", T.ArrayType(T.LongType())),
+            T.StructField("qnames", T.ArrayType(T.StringType())),
         ]
     )
 
     def fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.exists:
-            panes, cnts, sums, mins, maxs, emitted = state.get
+            panes, cnts, sums, mins, maxs, emitted, saved_names = state.get
+            if list(saved_names) != qnames:
+                raise ValueError(
+                    "streaming_shared_pane_aggregate: query set changed "
+                    f"across checkpoint resume (state has {list(saved_names)}, "
+                    f"job has {qnames}) — per-query emit-once marks cannot be "
+                    "remapped; restart from a fresh checkpoint"
+                )
             pend = pd.DataFrame(
                 {"p": panes, "c": cnts, "s": sums, "mn": mins, "mx": maxs}
             )
@@ -422,6 +432,7 @@ def streaming_shared_pane_aggregate(
                     pend["mn"].tolist(),
                     pend["mx"].tolist(),
                     [emitted_ms[n] for n in qnames],
+                    qnames,
                 )
             )
             # flush-on-silence: wake at the EARLIEST next grid window end

@@ -570,14 +570,27 @@ def test_adjacent_and_overlapping_windows_merge_into_one_span(spark):
     assert by_doc[2] == (0, 11, 2)
 
 
-def test_max_docs_cap_guards_boilerplate(spark, span_corpus):
-    """With the boilerplate guard at max_docs=2, the 3-doc shared passage
-    drops out and only runs shared by exactly 2 docs survive — the
-    posting-list stop-gram discipline applied to substring dedup."""
-    uncapped = dd.duplicate_ngram_spans(span_corpus, n=9, min_docs=3)
-    assert uncapped.count() > 0  # passage shared by docs 1-3 IS 3-doc
-    capped = dd.duplicate_ngram_spans(span_corpus, n=9, min_docs=3, max_docs=2)
-    assert capped.count() == 0
+def test_max_docs_cap_guards_boilerplate(spark):
+    """With the boilerplate guard at max_docs=2, a run shared by 3 docs
+    (the "boilerplate") drops out while a run shared by exactly 2 docs
+    survives — the posting-list stop-gram discipline applied to
+    substring dedup."""
+    boiler = "a b c d e f g h i j"   # 10 tokens, in ALL THREE docs
+    pair = "p q r s t u v w x y"     # 10 tokens, in docs 1-2 only
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} one {pair}"),
+            (2, f"{pair} two {boiler}"),
+            (3, f"three {boiler} four"),
+        ],
+        "doc_id bigint, text string",
+    )
+    uncapped = dd.duplicate_ngram_spans(df, n=10, min_docs=2)
+    assert uncapped.count() == 5  # boiler in 3 docs + pair in 2 docs
+    capped = dd.duplicate_ngram_spans(df, n=10, min_docs=2, max_docs=2)
+    spans = {(r.doc_id, r.span_start, r.span_end) for r in capped.collect()}
+    # only the 2-doc run survives: tokens 11-21 in doc 1, 0-10 in doc 2
+    assert spans == {(1, 11, 21), (2, 0, 10)}
 
 
 def test_remove_duplicate_spans_reconstructs_survivor_text(spark, span_corpus):
