@@ -207,11 +207,25 @@ def _streaming_throughput(spark, sf_dir: str, n_turns: int,
             stream.where(F.col("tool") != ""), WindowDef(RANGE, 3600, 300),
             value_col="text_len", keys=("tool",), watermark="0 seconds")
 
+    def shared3(stream):
+        # multi-query sharing: THREE concurrent window queries (incl.
+        # the CM1 shape) from ONE pane ring per key — compare its sec
+        # against 3x the cm1 row (BENCH/SLIDES.md measures 2.91x)
+        from saber_spark.streaming.panes import streaming_shared_pane_aggregate
+
+        return streaming_shared_pane_aggregate(
+            stream.where(F.col("tool") != ""),
+            {"cm1_1h_5m": WindowDef(RANGE, 3600, 300),
+             "30m_by_5m": WindowDef(RANGE, 1800, 300),
+             "2h_by_20m": WindowDef(RANGE, 7200, 1200)},
+            value_col="text_len", keys=("tool",), watermark="0 seconds")
+
     combos = [
         ("ysb_tumbling", ysb, "ysb", 1),
         ("ysb_tumbling_tuned", ysb, "ysb", n_files),
         ("cm1_pane_sliding", cm1, "cm1", 1),
         ("cm1_pane_sliding_tuned", cm1, "cm1", n_files),
+        ("shared3_windows_tuned", shared3, "sh3", n_files),
     ]
     samples: dict[str, list[tuple[float, int]]] = {n: [] for n, *_ in combos}
     for trial in range(rounds):
@@ -233,7 +247,9 @@ def _streaming_throughput(spark, sf_dir: str, n_turns: int,
         "_tuned = all staged files in one trigger, the BENCH/TRIGGERS.md-"
         "justified default; the =1 rows are the per-file worst case; "
         "figures are interleaved best-of-N with fresh checkpoints, "
-        "spread_sec = max-min across trials")
+        "spread_sec = max-min across trials; shared3_windows = THREE "
+        "concurrent window queries (incl. the cm1 shape) from one "
+        "shared pane ring — compare its sec against 3x the cm1 row")
     return out
 
 
