@@ -311,6 +311,8 @@ def shared_pane_aggregate(
     aggs: Sequence[AggSpec],
     keys: Sequence[str] = (),
     ts_col: str = "ts",
+    idx_col: str = "turn_idx",
+    row_key: str = "conv_id",
 ) -> DataFrame:
     """MULTI-QUERY window sharing: N concurrent RANGE sliding-window
     queries answered from ONE pane-partial aggregation in ONE plan.
@@ -332,6 +334,9 @@ def shared_pane_aggregate(
 
     Returns the union-shaped result tagged by ``query`` name, each leg
     bit-identical to ``pane_windowed_aggregate(df, wd, ...)`` run alone.
+    RANGE (event-time) and ROW (count over the dense per-conversation
+    ``idx_col``) query sets are both supported — but not mixed, since
+    the two pane grids are incommensurable.
 
     Scale: shuffle volume is #global-panes × #keys (finer gcd → more
     panes — the cost of sharing is pane granularity, bounded by
@@ -343,17 +348,25 @@ def shared_pane_aggregate(
         raise ValueError("need at least one query")
     import math as _math
 
-    for name, wd in queries.items():
-        if wd.kind != RANGE:
-            raise ValueError(f"query {name!r}: shared panes cover RANGE windows only")
+    kinds = {wd.kind for wd in queries.values()}
+    if len(kinds) > 1:
+        raise ValueError(
+            "shared panes need ONE pane grid; RANGE (event-time) and ROW "
+            f"(count) queries cannot share it — got {sorted(kinds)}"
+        )
+    kind = kinds.pop()
     pane = 0
     for wd in queries.values():
         pane = _math.gcd(pane, _math.gcd(wd.size, wd.slide))
 
-    pos = F.floor(
-        F.col(ts_col).cast("timestamp").cast("double") / F.lit(pane)
-    ).cast("long")
-    part_keys = list(keys)
+    if kind == RANGE:
+        pos = F.floor(
+            F.col(ts_col).cast("timestamp").cast("double") / F.lit(pane)
+        ).cast("long")
+        part_keys = list(keys)
+    else:
+        pos = F.floor(F.col(idx_col) / F.lit(pane)).cast("long")
+        part_keys = [row_key, *keys]
     partials = _pane_partials(df, pos, aggs, part_keys)
 
     # every (query, candidate-offset) this pane could feed, as literals
@@ -363,6 +376,7 @@ def shared_pane_aggregate(
             F.lit(j).alias("j"),
             F.lit(wd.slide // pane).alias("stride"),
             F.lit(wd.size).alias("size"),
+            F.lit(wd.slide).alias("slide"),
         )
         for name, wd in queries.items()
         for j in range(wd.windows_per_row)
@@ -377,18 +391,31 @@ def shared_pane_aggregate(
         # window [w, w + size) must still contain this pane
         .where(F.col("_pane") * pane < F.col("_w") * pane + F.col("_e.size"))
     )
+    if kind == ROW:
+        # count-based windows start at tuple 0 — no negative-start windows
+        fanned = fanned.where(F.col("_w") >= 0)
     merged = fanned.groupBy(
         F.col("_e.q").alias("query"),
         F.col("_e.size").alias("_size"),
+        F.col("_e.slide").alias("_slide"),
         F.col("_w"),
         *[F.col(k) for k in part_keys],
     ).agg(
         *[_MERGE_FN[stat](F.col(name)).alias(name) for name, (stat, _) in pcols.items()]
     )
+    if kind == RANGE:
+        return merged.select(
+            "query",
+            (F.col("_w") * pane).alias("window_start"),
+            (F.col("_w") * pane + F.col("_size")).alias("window_end"),
+            *keys,
+            *[_final_col(a) for a in aggs],
+        )
     return merged.select(
         "query",
-        (F.col("_w") * pane).alias("window_start"),
-        (F.col("_w") * pane + F.col("_size")).alias("window_end"),
+        F.col(row_key),
+        # _w is aligned to stride, so _w*pane is a multiple of the slide
+        ((F.col("_w") * pane) / F.col("_slide")).cast("long").alias("window_id"),
         *keys,
         *[_final_col(a) for a in aggs],
     )

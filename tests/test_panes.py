@@ -175,11 +175,35 @@ def test_shared_pane_is_one_scan_two_shuffles(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_shared_pane_rejects_row_windows(spark):
+# (ROW-window sharing is now supported — the rejection test became the
+# mixed-kind rejection below.)
+
+
+_SHARED_ROW_QUERIES = {
+    "w16_s4": WindowDef(ROW, 16, 4),
+    "w12_s3": WindowDef(ROW, 12, 3),
+    "w8_s8": WindowDef(ROW, 8, 8),
+}
+
+
+def test_shared_row_pane_legs_match_individual_runs(spark):
+    """ROW (count) window sharing: global pane = gcd over tuple sizes
+    and slides; each leg bit-identical to the solo ROW pane path."""
     from saber_spark.operators.panes import shared_pane_aggregate
 
     t = _prep(spark)
-    with pytest.raises(ValueError, match="RANGE"):
+    shared = shared_pane_aggregate(t, _SHARED_ROW_QUERIES, AGGS)
+    for name, wd in _SHARED_ROW_QUERIES.items():
+        leg = shared.where(F.col("query") == name).drop("query")
+        solo = pane_windowed_aggregate(t, wd, AGGS, method="fanout")
+        _cmp(leg, solo)
+
+
+def test_shared_pane_rejects_mixed_kinds(spark):
+    from saber_spark.operators.panes import shared_pane_aggregate
+
+    t = _prep(spark)
+    with pytest.raises(ValueError, match="cannot share"):
         shared_pane_aggregate(
-            t, {"bad": WindowDef(ROW, 10, 5)}, AGGS
+            t, {"a": WindowDef(RANGE, 3600, 600), "b": WindowDef(ROW, 8, 4)}, AGGS
         )
