@@ -67,3 +67,30 @@ def test_range_pane_parity_random_geometry(spark, a, b):
 def test_row_pane_parity_random_geometry(spark, a, b):
     size, slide = max(a, b), min(a, b)
     _check(spark, WindowDef(ROW, size, slide))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(1, 24), st.integers(1, 24)),
+                min_size=2, max_size=4, unique=True))
+def test_shared_pane_parity_random_query_sets(spark, geoms):
+    """Any set of 2-4 random RANGE window geometries shared through one
+    gcd-pane pass must reproduce each geometry's solo pane result
+    bit-for-bit — the multi-query fan-out math holds for arbitrary
+    (size, slide) mixes, not just the hand-picked bench set."""
+    from saber_spark.operators.panes import shared_pane_aggregate
+
+    # scale to seconds; slide <= size per WindowDef's contract
+    queries = {}
+    for i, (a, b) in enumerate(geoms):
+        size_s, slide_s = max(a, b) * 60, min(a, b) * 60
+        queries[f"q{i}_{size_s}_{slide_s}"] = WindowDef(RANGE, size_s, slide_s)
+    df = _data(spark)
+    shared = shared_pane_aggregate(df, queries, AGGS).toPandas()
+    for name, wd in queries.items():
+        got = shared[shared["query"] == name].drop(columns=["query"])
+        want = pane_windowed_aggregate(df, wd, AGGS, method="fanout").toPandas()
+        cols = sorted(want.columns)
+        a_ = want[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        b_ = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a_, b_, check_dtype=False)
