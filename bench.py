@@ -405,6 +405,14 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = (2, 8),
     if prior:
         with open(prior) as f:
             prior_raw = json.load(f)
+        counts = {c: len(prior_raw.get(f"local[{c}]", [])) for c in levels}
+        if len(set(counts.values())) != 1:
+            # asymmetric pooling hands one level extra minimum-chances,
+            # biasing the N->4N efficiency the gate is judged on
+            raise ValueError(
+                f"--scaling-prior has unequal rounds per level ({counts}); "
+                "pool only priors covering BOTH levels equally"
+            )
         for c in levels:
             rows = prior_raw.get(f"local[{c}]", [])
             runs[c].extend({"queries": r} for r in rows)
@@ -424,7 +432,18 @@ def run_scaling(sf_dir: str, levels: tuple[int, int] = (2, 8),
             runs[cpus].append(json.loads(line))
 
     def best_queries(cpus: int) -> dict[str, float]:
-        names = runs[cpus][0]["queries"].keys()
+        # take the query list from a FRESH round (the last row is always
+        # this session's) and demand every pooled row cover it — a prior
+        # from an older workload must fail loudly, not silently shrink
+        # the published totals to the intersection
+        names = runs[cpus][-1]["queries"].keys()
+        for r in runs[cpus]:
+            missing = set(names) - set(r["queries"])
+            if missing:
+                raise ValueError(
+                    f"--scaling-prior rounds lack shapes {sorted(missing)} — "
+                    "the scale workload changed; drop the stale prior file"
+                )
         return {
             n: round(min(r["queries"][n] for r in runs[cpus]), 3) for n in names
         }

@@ -360,17 +360,22 @@ class IcebergBatchReader(DataSourceReader):
         # delete sets — pinned to a single snapshot by construction
         meta = table._read_metadata()
         from saber_spark.sources.iceberg_format import (
+            _bound_name_maps,
             _manifest_pruned_mor,
             _pruned,
         )
 
         # delete-free manifests whose manifest-list column summary
         # contradicts the pushed filters are skipped UNREAD (planning
-        # scales with matching manifests, not live manifests); no name
-        # maps here, matching the per-file pruning below (rename-proof
-        # conservatively: mismatched keys keep the manifest)
+        # scales with matching manifests, not live manifests). The
+        # writer-schema name maps MUST flow here exactly as in
+        # IcebergTable.files()/scan(): bounds are keyed by writer-time
+        # column names, and after a rename chain that reuses a name
+        # (a->b then c->a) the stale key COLLIDES with the current name
+        # — "missing key keeps the manifest" does not save that case
+        name_maps = _bound_name_maps(meta)
         skip = (
-            (lambda m: _manifest_pruned_mor(m, self.pruning_filters, None))
+            (lambda m: _manifest_pruned_mor(m, self.pruning_filters, name_maps))
             if self.pruning_filters
             else None
         )
@@ -389,6 +394,7 @@ class IcebergBatchReader(DataSourceReader):
                     d,
                     self.pruning_filters,
                     specs.get(int(d.get("spec-id", 0)), {}),
+                    name_maps,
                 )
             )
         ]

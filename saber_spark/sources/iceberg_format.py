@@ -2754,11 +2754,23 @@ def _manifest_summary(entries: list[dict]) -> dict:
         common &= set(d.get("lower_bounds", {})) & set(d.get("upper_bounds", {}))
     bounds: dict = {}
     for col in common:
+        los = [d["lower_bounds"][col] for d in data]
+        his = [d["upper_bounds"][col] for d in data]
+        # same all-or-nothing separator normalization as _norm_ts_bounds:
+        # manifests can mix pre-r3 'T'-separated and space-separated
+        # timestamp strings across files, and ' ' < 'T' lexicographically
+        # — min/max over the mixed forms would pick a temporally WRONG
+        # aggregate bound (a later space-form lower beats an earlier
+        # T-form one), making the summary prune manifests that hold
+        # matching rows. Normalize only when EVERY bound looks like a
+        # timestamp, for the monotonicity reason documented there.
+        if all(
+            isinstance(x, str) and _TS_BOUND_RE.match(x) for x in los + his
+        ):
+            los = [x.replace("T", " ") for x in los]
+            his = [x.replace("T", " ") for x in his]
         try:
-            bounds[col] = [
-                min(d["lower_bounds"][col] for d in data),
-                max(d["upper_bounds"][col] for d in data),
-            ]
+            bounds[col] = [min(los), max(his)]
         except TypeError:  # mixed bound types across files: unprovable
             continue
     if not bounds:

@@ -461,10 +461,32 @@ def _descriptor_blob() -> bytes:
     if src is None:
         with open(spec.origin, "r", encoding="utf-8") as f:
             src = f.read()
-    m = re.search(r"AddSerializedFile\(\s*(b(['\"]).*?\2)\s*\)", src, re.S)
-    if not m:
+    try:
+        return _extract_serialized_literal(src)
+    except ValueError:
         raise ValueError(f"no serialized descriptor found in {spec.origin}")
-    return ast.literal_eval(m.group(1))
+
+
+def _extract_serialized_literal(src: str) -> bytes:
+    """The bytes literal passed to ``AddSerializedFile``. Scans to the
+    literal's TERMINATING quote honoring backslash escapes — a
+    non-greedy regex to "quote then ')'" would truncate the blob at any
+    embedded \' or \" byte pair that happens to precede a ')' char,
+    leaving an unterminated literal."""
+    m = re.search(r"AddSerializedFile\(\s*b(['\"])", src)
+    if not m:
+        raise ValueError("no serialized descriptor")
+    q = m.group(1)
+    i = j = m.end()
+    while True:
+        c = src[j]  # IndexError on an unterminated literal -> gate trips
+        if c == "\\":
+            j += 2
+            continue
+        if c == q:
+            break
+        j += 1
+    return ast.literal_eval(f"b{q}{src[i:j]}{q}")
 
 
 def build_module(name: str = _PB2_NAME) -> types.ModuleType:

@@ -220,7 +220,12 @@ def streaming_ivf_topk(
         state.update((negs, ids))
         wm_ms = int(state.getCurrentWatermarkMs())
         end_ms = ws_us // 1000 + window_s * 1000
-        state.setTimeoutTimestamp(max(end_ms, wm_ms + 1))
+        # event-time timeouts fire when the watermark STRICTLY exceeds
+        # the timestamp, while a declarative windowed agg emits at
+        # watermark >= window end — end_ms - 1 keeps those aligned, else
+        # a window whose end equals the final watermark never emits
+        # (same convention as streaming/panes.py)
+        state.setTimeoutTimestamp(max(end_ms - 1, wm_ms + 1))
 
     top = keyed.groupBy("query_id", "_ws_us").applyInPandasWithState(
         fn, out_schema, state_schema, "append", "EventTimeTimeout"

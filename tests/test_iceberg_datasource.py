@@ -351,3 +351,27 @@ def test_changelog_mode_guards(spark):
         spark.read.format("saber_iceberg").option("location", loc).option(
             "mode", "zzz"
         ).load().collect()
+
+
+def test_pushdown_after_rename_chain_resolves_by_field_id(spark):
+    """Rename chain reusing a name (text->body, then tool->text): the
+    DataSource's pruning — manifest-level AND per-file — must translate
+    the pushed filter on the CURRENT 'text' (the former tool field) to
+    the writer-time 'tool' bounds. A name-keyed lookup collides with the
+    stale original-text bounds and silently drops matching files."""
+    loc = _fresh("ds_rename_chain")
+    src = _turns(spark)
+    t = IcebergTable.create(loc, src)
+    t.append(src)
+    tool_val = (
+        src.where(F.col("tool") != "").orderBy("tool").collect()[0]["tool"]
+    )
+    want = {
+        (r["conv_id"], r["turn_idx"])
+        for r in src.where(F.col("tool") == tool_val).collect()
+    }
+    assert want
+    t.rename_column("text", "body")
+    t.rename_column("tool", "text")
+    got = _read(spark, loc).where(F.col("text") == tool_val)
+    assert _keys(got) == want

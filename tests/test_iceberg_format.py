@@ -1394,3 +1394,44 @@ def test_manifest_summary_survives_mor_and_rewrite(spark):
         )
         == want
     )
+
+
+def test_manifest_summary_normalizes_mixed_ts_separators():
+    """A manifest mixing pre-r3 'T'-separated and space-separated
+    timestamp bounds must aggregate the TEMPORALLY true min/max
+    (' ' < 'T' lexicographically, so raw min/max would pick a later
+    space-form bound over an earlier T-form one) — otherwise
+    _manifest_pruned skips manifests that hold matching rows."""
+    from saber_spark.sources.iceberg_format import (
+        _manifest_pruned,
+        _manifest_summary,
+    )
+
+    entries = [
+        {  # pre-r3 writer: 'T' separator, temporally EARLIER
+            "content": 0,
+            "schema-id": 0,
+            "lower_bounds": {"ts": "2024-01-05T06:00:00"},
+            "upper_bounds": {"ts": "2024-01-05T07:00:00"},
+        },
+        {  # post-r3 writer: space separator, temporally later
+            "content": 0,
+            "schema-id": 0,
+            "lower_bounds": {"ts": "2024-01-05 12:00:00"},
+            "upper_bounds": {"ts": "2024-01-05 13:00:00"},
+        },
+    ]
+    summary = _manifest_summary(entries)
+    assert summary["bounds"]["ts"] == [
+        "2024-01-05 06:00:00",
+        "2024-01-05 13:00:00",
+    ]
+    mentry = {**summary}
+    # rows in [06:00, 07:00] DO match ts < 10:00 — must NOT prune
+    assert not _manifest_pruned(
+        mentry, [("ts", "<", "2024-01-05 10:00:00")], None
+    )
+    # and a filter provably outside both files still prunes
+    assert _manifest_pruned(
+        mentry, [("ts", "<", "2024-01-05 05:00:00")], None
+    )

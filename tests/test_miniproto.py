@@ -112,3 +112,18 @@ def test_ensure_seeds_sys_modules():
     assert name in sys.modules
     mod = sys.modules[name]
     assert hasattr(mod, "StateRequest")
+
+
+def test_extract_serialized_literal_survives_escaped_quote_before_paren():
+    r"""A descriptor blob containing the byte pair 0x27 0x29 (rendered
+    \') must parse whole — the previous non-greedy regex truncated at
+    the first quote-then-')' and tripped the availability gate."""
+    from saber_spark.streaming._miniproto import _extract_serialized_literal
+
+    blob = b"abc')def"  # 0x27 0x29 inside the payload
+    literal = repr(blob)  # "b\"abc')def\"" — python picks a safe quote
+    src = f"DESCRIPTOR = _pool.AddSerializedFile(\n  {literal}\n)\n"
+    assert _extract_serialized_literal(src) == blob
+    # and the single-quoted form, where the hazard is an ESCAPED quote
+    src2 = "DESCRIPTOR = _pool.AddSerializedFile(b'abc\\')def')\n"
+    assert _extract_serialized_literal(src2) == blob

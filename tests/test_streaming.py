@@ -1081,3 +1081,46 @@ def test_streaming_shared_panes_parity(spark, stream_dir):
         )
     finally:
         q.stop()
+
+
+def test_streaming_ivf_topk_emits_boundary_aligned_window(spark):
+    """A window whose end EXACTLY equals the final watermark must still
+    emit: event-time timeouts fire only when the watermark strictly
+    exceeds the timestamp, so the processor's timeout must sit at
+    end-1 ms (the declarative agg's emit condition is wm >= end)."""
+    from saber_spark.streaming.ann import streaming_ivf_topk
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = os.path.join(TMP, "ann_boundary")
+    shutil.rmtree(path, ignore_errors=True)
+    # one query in window [00:00, 00:10); flush row lands EXACTLY on a
+    # later window boundary so the final watermark == that boundary and
+    # == an exact multiple of window_s past the first window's end
+    q1 = base.where(F.col("vec_id") == 0).select(
+        "vec_id", "embedding",
+        F.expr("timestamp_ntz'2024-01-01 00:00:01'").alias("ts"))
+    flush = base.where(F.col("vec_id") == 0).select(
+        "vec_id", "embedding",
+        F.expr("timestamp_ntz'2024-01-01 00:10:00'").alias("ts"))
+    q1.coalesce(1).write.parquet(os.path.join(path, "chunk=000"))
+    flush.coalesce(1).write.parquet(os.path.join(path, "chunk=001"))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{path}/chunk=*")
+    )
+    out = streaming_ivf_topk(
+        stream, base, k=3, n_probes=2, window_s=600, watermark="0 seconds"
+    )
+    shutil.rmtree(os.path.join(TMP, "ckpt_annb"), ignore_errors=True)
+    q = _run_to_memory(out, "annb", "append")
+    try:
+        got = spark.sql(
+            "SELECT DISTINCT win.end FROM annb WHERE query_id = 0"
+        ).toPandas()
+        # final watermark is 00:10:00; window [00:00, 00:10) ends exactly
+        # there and MUST have been emitted
+        assert len(got) == 1, "boundary-aligned window was not emitted"
+    finally:
+        q.stop()
