@@ -82,32 +82,44 @@ _MODES = ("all", "skip_past")
 MAX_EXPANSIONS = 128
 
 
-def _expansions(steps: list[Step]) -> list[tuple[int, ...]]:
+def _expansions_from_repeats(
+    repeats: list[tuple[int, int]],
+    names: list[str] | None = None,
+    who: str = "match_sequence",
+) -> list[tuple[int, ...]]:
     """Concrete per-step run lengths, sorted by greedy preference
     (lexicographic descending — maximize the first step's run, then the
-    second's, ...)."""
+    second's, ...). THE one expansion/validation implementation: the
+    batch operator and the streamed SequenceMatcher both call it, so
+    which expansion wins can never silently diverge between the twins."""
     import itertools
 
-    for s in steps:
-        lo, hi = s.repeat
+    for i, (lo, hi) in enumerate(repeats):
         if not (1 <= lo <= hi):
+            label = names[i] if names else f"#{i}"
             raise ValueError(
-                f"match_sequence: step {s.name!r} repeat must satisfy "
-                f"1 <= lo <= hi, got {s.repeat}"
+                f"{who}: step {label!r} repeat must satisfy "
+                f"1 <= lo <= hi, got {(lo, hi)}"
             )
     n = 1
-    for s in steps:
-        n *= s.repeat[1] - s.repeat[0] + 1
+    for lo, hi in repeats:
+        n *= hi - lo + 1
     if n > MAX_EXPANSIONS:
         raise ValueError(
-            f"match_sequence: quantifier ranges expand to {n} concrete "
+            f"{who}: quantifier ranges expand to {n} concrete "
             f"shapes (> {MAX_EXPANSIONS}) — tighten the repeat bounds"
         )
     exps = list(
-        itertools.product(*[range(s.repeat[0], s.repeat[1] + 1) for s in steps])
+        itertools.product(*[range(lo, hi + 1) for lo, hi in repeats])
     )
     exps.sort(reverse=True)
     return exps
+
+
+def _expansions(steps: list[Step]) -> list[tuple[int, ...]]:
+    return _expansions_from_repeats(
+        [s.repeat for s in steps], [s.name for s in steps]
+    )
 
 
 def match_sequence(

@@ -1042,7 +1042,12 @@ class IcebergTable:
         if mode not in ("copy-on-write", "merge-on-read"):
             raise ValueError(f"unknown delete mode {mode!r}")
         meta = self._read_metadata()
-        affected = self.files(filters=filters)
+        # plan under the SAME pinned metadata used by the rewrite below:
+        # a concurrent append committing between the two reads would
+        # otherwise land in ``affected`` but miss from meta's live set,
+        # and _read_paths would resolve it under schema-id 0 — nulling
+        # renamed columns in the persisted rewrite
+        affected = self.files(filters=filters, meta=meta)
         if not affected:
             return meta
         paths = {d["file_path"] for d in affected}
@@ -1448,15 +1453,34 @@ class IcebergTable:
                 if s["schema-id"] == meta["current-schema-id"]
             )["fields"]
         ]
-        source = source.select(*cols)
+        # one evaluation of the source: the bounds probe, the empty
+        # check, the survivors anti-join and the inserts must all see
+        # the SAME rows — a non-deterministic source re-evaluated per
+        # branch could delete target rows whose keys it never re-inserts
+        # (same hazard upsert_by_key pins with persist)
+        source = source.select(*cols).persist()
+        try:
+            return self._merge_into_pinned(
+                spark, source, key_cols, meta, summary_extra, delete_condition
+            )
+        finally:
+            source.unpersist()
+
+    def _merge_into_pinned(
+        self, spark, source, key_cols, meta, summary_extra, delete_condition
+    ) -> dict:
+        cols = [f.name for f in source.schema.fields]
         k0 = key_cols[0]
         bounds = source.agg(
             F.min(k0).alias("lo"), F.max(k0).alias("hi")
         ).collect()[0]
         if bounds["lo"] is None and source.isEmpty():
             # empty source: MERGE is the identity — bail out before the
-            # no-bounds path below rewrites every live file for nothing
-            return self._snapshot(meta) or {}
+            # no-bounds path below rewrites every live file for nothing.
+            # Return the CURRENT metadata dict like every other commit
+            # path (a snapshot-shaped return would KeyError callers
+            # reading metadata keys exactly and only on empty batches).
+            return meta
         all_live = self._live_files(meta)
         known_dels = {
             p
@@ -2063,7 +2087,9 @@ class IcebergTable:
             ]
         return out
 
-    def files(self, snapshot_id=None, as_of_ms=None, filters=None) -> list[dict]:
+    def files(
+        self, snapshot_id=None, as_of_ms=None, filters=None, meta=None
+    ) -> list[dict]:
         """Live DATA files of one snapshot, after partition- and
         column-bound pruning. ``filters``: [(col, op, value)] with op in
         = < <= > >= — conservative (a file is kept unless its bounds
@@ -2071,8 +2097,12 @@ class IcebergTable:
         delete files (content=1) are excluded — use ``delete_files``.
         Manifests whose manifest-list column summary contradicts
         ``filters`` are skipped without being read (cold planning scales
-        with matching manifests, not live manifests)."""
-        meta = self._read_metadata()
+        with matching manifests, not live manifests). ``meta`` pins the
+        listing to metadata the caller already read — multi-step
+        operations (delete_where) must plan and read under ONE metadata
+        version or a concurrent commit between the two reads hands them
+        files resolved under the wrong writer schema."""
+        meta = meta if meta is not None else self._read_metadata()
         specs = self._spec_maps(meta)
         nmaps = _bound_name_maps(meta) if filters else None
         skip = (
@@ -2171,6 +2201,27 @@ class IcebergTable:
         streaming readers need each file's writer ``schema-id`` to
         resolve renamed columns by field id."""
         meta = self._read_metadata()
+        # sequence numbers are dense (one per commit), so any number in
+        # the range with no surviving snapshot means expire_snapshots
+        # removed an intermediate append AFTER the reader checkpointed —
+        # its rows are unrecoverable from this range and a silent skip
+        # would be silent data loss (real Iceberg's incremental scan
+        # raises on a missing intermediate snapshot the same way)
+        present = {sn["sequence-number"] for sn in meta["snapshots"]}
+        # clamp to the last committed sequence: callers pass a huge
+        # to_seq as the "to latest" idiom, and sequences beyond the last
+        # commit were never written, hence cannot be missing (also keeps
+        # this check O(#commits), never O(to_seq))
+        hi = min(to_seq, max(present, default=0))
+        missing = [q for q in range(from_seq + 1, hi + 1) if q not in present]
+        if missing:
+            raise ValueError(
+                f"snapshots with sequence numbers {missing} were expired "
+                "out of the incremental range — the appended rows are no "
+                "longer reachable; re-seed the reader from a full scan "
+                "(and retain snapshots at least as long as reader "
+                "checkpoint lag)"
+            )
         out: list[dict] = []
         for s in meta["snapshots"]:
             if from_seq < s["sequence-number"] <= to_seq and s["summary"][
@@ -2225,15 +2276,16 @@ class IcebergTable:
         if from_snapshot_id is not None and from_snapshot_id != -1:
             from_seq = self._snapshot(meta, from_snapshot_id)["sequence-number"]
         to_snap = self._snapshot(meta, to_snapshot_id)
-        paths = (
-            self.appended_file_paths(from_seq, to_snap["sequence-number"])
+        entries = (
+            self.appended_files(from_seq, to_snap["sequence-number"])
             if to_snap is not None
             else []
         )
-        ddl = self.schema_ddl()
-        if not paths:
-            return spark.createDataFrame([], ddl)
-        return spark.read.schema(ddl).parquet(*paths)
+        # field-id resolution, NOT a name-keyed read under the current
+        # schema: files written before a rename carry the old column
+        # name, and parquet's by-name matching would silently null the
+        # renamed column here while scan()/changes() return real values
+        return self._read_data_entries(spark, meta, entries)
 
     def _read_entries_with_pos(
         self, spark: SparkSession, meta: dict, entries: list[dict]
@@ -2377,18 +2429,12 @@ class IcebergTable:
                     )
                 )
             if diff["added_dels"]:
-                new_del = spark.read.parquet(
-                    *sorted(d["file_path"] for d in diff["added_dels"])
-                ).select(
-                    F.col("file_path").alias("_del_fp"),
-                    F.col("pos").alias("_del_pos"),
+                new_del = self._pos_delete_frame(
+                    spark, [d["file_path"] for d in diff["added_dels"]]
                 )
                 if diff["prev_del_paths"]:
-                    old_del = spark.read.parquet(
-                        *sorted(diff["prev_del_paths"])
-                    ).select(
-                        F.col("file_path").alias("_del_fp"),
-                        F.col("pos").alias("_del_pos"),
+                    old_del = self._pos_delete_frame(
+                        spark, diff["prev_del_paths"]
                     )
                     new_del = new_del.join(
                         old_del, ["_del_fp", "_del_pos"], "left_anti"
@@ -2427,6 +2473,21 @@ class IcebergTable:
                     diff["prev_eq"],
                     keep_addr=True,
                 )
+                if diff["added_dels"]:
+                    # a row BOTH position-deleted and equality-matched in
+                    # this one snapshot (only an external writer commits
+                    # both kinds at once — this format's own writers
+                    # never do) is announced exactly once, by the
+                    # position-delete path above
+                    nd = self._pos_delete_frame(
+                        spark, [d["file_path"] for d in diff["added_dels"]]
+                    )
+                    base = base.join(
+                        F.broadcast(nd),
+                        (F.col("_fp") == F.col("_del_fp"))
+                        & (F.col("_pos") == F.col("_del_pos")),
+                        "left_anti",
+                    )
                 hits = []
                 for _ids, cond, dels in self._eq_tuple_frames(
                     spark, meta, diff["added_eq"]
@@ -2835,8 +2896,23 @@ def _pruned(
         pf_ = spec.get(col)
         if pf_ is not None and pf_["transform"] == "identity":
             pv = data_file["partition"].get(pf_["name"])
-            if pv is not None and op == "=" and pv != str(val):
-                return True
+            # pv was written via Spark's string cast, which disagrees
+            # with Python str() for bool ('true' vs 'True') and for
+            # float-vs-int literals ('5' vs '5.0') — compare in the
+            # value domain and keep the file when equality cannot be
+            # DISPROVEN (pruning must be conservative)
+            if pv is not None and op == "=":
+                if isinstance(val, bool):
+                    if pv != ("true" if val else "false"):
+                        return True
+                elif isinstance(val, (int, float)):
+                    try:
+                        if float(pv) != float(val):
+                            return True
+                    except ValueError:
+                        pass  # non-numeric partition value: cannot prove
+                elif pv != str(val):
+                    return True
         if nm is not None:
             key = nm.get(col)
             if key is None:  # field absent in the writer schema: no bounds

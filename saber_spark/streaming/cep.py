@@ -225,6 +225,18 @@ class SequenceMatcher(StatefulProcessor):
     therefore set ``ttl_s`` — without it a conversation's trailing
     sub-horizon matches wait forever.
 
+    KNOWN DIVERGENCE when ``within_us is None`` with ``ttl_s`` set:
+    without a time bound, batch consecutiveness has no gap limit, so a
+    match whose rows straddle a silence gap longer than ``ttl_s`` IS a
+    batch match but can never emit here — the flush freed the buffer
+    before the later rows arrived. This is the price of bounded state
+    on an unbounded stream (the ``ttl_s >= within_s`` guard cannot
+    apply with no ``within_s`` to compare against); parity with the
+    batch operator is guaranteed only for matches whose inter-row gaps
+    all stay under ``ttl_s``. Callers needing exact batch parity for
+    time-unbounded patterns must set ``within_s`` (making the bound
+    explicit) instead of relying on ttl alone.
+
     Ordering contract: same as ToolLoopDetector — rows arrive per key in
     event-time order across micro-batches; within a batch the processor
     sorts by (``us``, ``idx``).
@@ -259,29 +271,18 @@ class SequenceMatcher(StatefulProcessor):
         repeats = repeats or [(1, 1)] * n_steps
         if len(repeats) != n_steps:
             raise ValueError("SequenceMatcher: len(repeats) must == n_steps")
-        for lo, hi in repeats:
-            if not (1 <= lo <= hi):
-                raise ValueError(
-                    "SequenceMatcher: each repeat must satisfy 1 <= lo <= hi"
-                )
-        n_exp = 1
-        for lo, hi in repeats:
-            n_exp *= hi - lo + 1
-        if n_exp > 128:  # mirrors operators.cep.MAX_EXPANSIONS
-            raise ValueError(
-                f"SequenceMatcher: quantifier ranges expand to {n_exp} "
-                "concrete shapes (> 128) — tighten the repeat bounds"
-            )
         self.n_steps = n_steps
         self.within_us = within_us
         self.skip_past = skip_past
         self.ttl_s = ttl_s
-        # greedy-preference order (lexicographic desc), precompiled to
-        # (total_len, step-index-per-offset) plans the row loop walks
-        exps = sorted(
-            itertools.product(*[range(lo, hi + 1) for lo, hi in repeats]),
-            reverse=True,
-        )
+        # validation + greedy-preference order (lexicographic desc) come
+        # from the BATCH operator's _expansions_from_repeats so the
+        # twins can never disagree on which expansion wins or on the
+        # MAX_EXPANSIONS cap; precompiled to (total_len,
+        # step-index-per-offset) plans the row loop walks
+        from saber_spark.operators.cep import _expansions_from_repeats
+
+        exps = _expansions_from_repeats(repeats, who="SequenceMatcher")
         self._plans = [
             (sum(e), tuple(j for j, r in enumerate(e) for _ in range(r)))
             for e in exps

@@ -1435,3 +1435,54 @@ def test_manifest_summary_normalizes_mixed_ts_separators():
     assert _manifest_pruned(
         mentry, [("ts", "<", "2024-01-05 05:00:00")], None
     )
+
+
+def test_identity_partition_prune_bool_and_numeric_literals():
+    """Partition values are written via Spark's string cast ('true',
+    '5'); pruning with Python literals True / 5.0 must compare in the
+    value domain — str(True)='True' and str(5.0)='5.0' would wrongly
+    prune EVERY matching file."""
+    from saber_spark.sources.iceberg_format import _pruned
+
+    spec = {"flag": {"name": "flag", "transform": "identity"},
+            "n": {"name": "n", "transform": "identity"}}
+    f_true = {"partition": {"flag": "true"}, "schema-id": 0,
+              "lower_bounds": {}, "upper_bounds": {}}
+    f_n5 = {"partition": {"n": "5"}, "schema-id": 0,
+            "lower_bounds": {}, "upper_bounds": {}}
+    assert not _pruned(f_true, [("flag", "=", True)], spec)
+    assert _pruned(f_true, [("flag", "=", False)], spec)
+    assert not _pruned(f_n5, [("n", "=", 5.0)], spec)
+    assert not _pruned(f_n5, [("n", "=", 5)], spec)
+    assert _pruned(f_n5, [("n", "=", 6)], spec)
+
+
+def test_incremental_range_with_expired_snapshot_raises(spark):
+    """A reader checkpointed before snapshots that expire_snapshots
+    later removes must FAIL on its next batch, not silently skip the
+    expired appends (their rows are unrecoverable from the range)."""
+    loc = _fresh("expire_gap")
+    t = IcebergTable.create(loc, _turns(spark))
+    t.append(_turns(spark, 0))   # seq 1
+    t.append(_turns(spark, 4))   # seq 2
+    t.append(_turns(spark, 8))   # seq 3
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        t.appended_files(1, 3)
+
+
+def test_incremental_resolves_renamed_columns_by_field_id(spark):
+    """incremental() must agree with scan() on files written before a
+    rename — a name-keyed parquet read under the current schema would
+    silently null the renamed column for pre-rename files."""
+    loc = _fresh("incr_rename")
+    a = _turns(spark, 0)
+    t = IcebergTable.create(loc, a)
+    s0 = t.append(a)["current-snapshot-id"]
+    t.rename_column("text", "body")
+    got = t.incremental(spark, None)  # all appends
+    assert got.where(F.col("body").isNull()).count() == 0
+    assert {r["body"] for r in got.collect()} == {
+        r["text"] for r in a.collect()
+    }
+    assert t.incremental(spark, s0).count() == 0  # nothing after s0
